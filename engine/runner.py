@@ -1,0 +1,97 @@
+"""validate() orchestration + spark-submit CLI entry.
+
+One call = the full constraint-suite pass over a clips table:
+
+  1. fused row-local checks + column stats (one scan)      engine/checks.py
+  2. uniqueness shuffle agg                                engine/checks.py
+  3. referential-integrity anti-join                       engine/checks.py
+  4. audio/transcript Arrow-UDF invariant pass             engine/audio.py
+
+returning (verdicts, partition_verdicts, violations, stats) — the reference's
+pass/fail + violation-positions contract (anomaly_detection.py:462-465)
+generalized. Checkpoint-resumable variant lives in engine/checkpoint.py.
+
+CLI:  spark-submit --py-files engine.zip -m engine.runner <clips_path> <transcripts_path>
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine import audio as audio_mod
+from engine import checks as checks_mod
+from engine.suite import ConstraintSuite, RowInvariant, audio_clip_suite
+
+
+def validate(
+    clips: DataFrame,
+    transcripts: DataFrame | None = None,
+    suite: ConstraintSuite | None = None,
+    n_buckets: int = 32,
+    check_audio: bool = False,
+    stat_columns: list[str] | None = None,
+) -> checks_mod.SuiteResult:
+    suite = suite or audio_clip_suite()
+    refs = {"transcripts": transcripts} if transcripts is not None else {}
+    stat_columns = stat_columns or [c for c in clips.columns if c != "bytes"]
+    result = checks_mod.run_suite(
+        clips,
+        suite,
+        key_cols=["clip_id"],
+        refs=refs,
+        n_buckets=n_buckets,
+        stat_columns=stat_columns,
+    )
+
+    if check_audio and transcripts is not None:
+        inv = audio_mod.audio_invariants(clips, transcripts).cache()
+        for flag, name in (("pcm_ok", "pcm_snr_invariant"), ("transcript_ok", "transcript_equality")):
+            bad = inv.filter(~F.col(flag))
+            result.violations[name] = bad.select(
+                "clip_id",
+                F.lit(name).alias("constraint"),
+                F.coalesce(F.col("decode_error"), F.col("snr_db").cast("string")).alias(
+                    "offending_value"
+                ),
+                F.col("bucket_id"),
+            )
+            per_bucket = (
+                inv.groupBy("bucket_id")
+                .agg(
+                    F.sum(F.when(~F.col(flag), 1).otherwise(0)).cast("long").alias("violation_count"),
+                    F.count(F.lit(1)).cast("long").alias("rows_scanned"),
+                )
+                .select(
+                    "bucket_id",
+                    F.lit(name).alias("constraint"),
+                    "violation_count",
+                    "rows_scanned",
+                )
+                .withColumn("passed", F.col("violation_count") == 0)
+            )
+            result.partition_verdicts = result.partition_verdicts.unionByName(per_bucket)
+            result.verdicts = result.verdicts.unionByName(
+                per_bucket.groupBy("constraint").agg(
+                    F.sum("violation_count").cast("long").alias("violation_count"),
+                    F.sum("rows_scanned").cast("long").alias("rows_scanned"),
+                ).withColumn("passed", F.col("violation_count") == 0)
+            )
+    return result
+
+
+def main() -> None:  # pragma: no cover - CLI shim
+    import sys
+
+    from engine.session import get_spark
+
+    clips_path, transcripts_path = sys.argv[1], sys.argv[2]
+    spark = SparkSession.getActiveSession() or get_spark("tsad-validate")
+    clips = spark.read.parquet(clips_path)
+    transcripts = spark.read.parquet(transcripts_path)
+    res = validate(clips, transcripts, check_audio=True)
+    res.verdicts.orderBy("constraint").show(100, truncate=False)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

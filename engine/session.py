@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the validation engine.
+
+Local-mode settings mirror what a 1000-executor deployment would set per
+executor: AQE on (runtime partition coalescing + skew-join splitting), Arrow
+enabled for the pandas-UDF invariant path, shuffle partitions sized to cores
+(overridden to ~2-3x total cores on a real cluster), UTC session timezone so
+results compare bit-for-bit against external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tsad-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` controls local parallelism (``local[cores]``); defaults to the
+    ``SPARK_GRAFT_CPUS`` env var, falling back to ``local[*]``. On a real
+    cluster this function is a no-op passthrough to the cluster-provided
+    session (``spark-submit`` sets master).
+    """
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or (int(cores) if cores else os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("TSAD_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,226 @@
+"""Deterministic synthetic fixtures (FIXTURES.md schemas).
+
+Seeded, pure-function generation — same (seed, n) => byte-identical tables —
+mirroring the reference's reproducibility pinning (``models/utils.py:158-165``,
+seed=42 at ``anomaly_detection.py:22``). Audio payloads follow the reference's
+noisy 2-harmonic sine generator semantics (``models/utils.py:123-138``):
+``a1*sin(wt) + a2*sin(2wt) + U(-eps, eps)``, PCM16 in a canonical WAV wrapper.
+
+Violations are planted at keys derivable from ``id`` alone (modular rules
+below), the Spark analog of the reference's filename-encoded labeled anomaly
+intervals (``models/utils.py:34-39``) that predictions are checked against
+(``anomaly_detection.py:463-465``). ``plant_manifest(n)`` recomputes the
+ground truth; tests assert the engine reports exactly those keys.
+
+Generation is DISTRIBUTED: ``spark.range(n)`` + ``mapInPandas`` with a
+per-row-id-seeded RNG — no driver-side materialization, so the same generator
+scales to the bench fixture sizes (and would scale to 10^12 rows on a real
+cluster: the only driver state is the scalar params).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED = 42
+
+# ---- planting rules (id-derivable ground truth) -----------------------------
+RULES = {
+    "clip_id_duplicate": (1000, 7),      # row duplicated (uniqueness violation)
+    "payload_corrupt": (2000, 13),       # truncated / wrong-amplitude bytes
+    "sr_hz_out_of_domain": (2000, 17),   # 11025
+    "dur_ms_zero": (2000, 19),           # 0 (below range)
+    "dur_ms_huge": (4000, 21),           # 3_600_000 (above range)
+    "codec_out_of_domain": (2000, 23),   # "wma"
+    "transcript_mismatch": (2000, 29),   # transcripts.transcript_gold differs
+    "transcript_null": (500, 3),
+    "codec_null": (500, 11),
+    "dangling_fk": (1000, 37),           # clip_id missing from transcripts
+}
+
+SR_DOMAIN = np.array([8000, 16000, 22050, 44100])
+SR_WEIGHTS = np.array([0.80, 0.10, 0.07, 0.03])
+CODEC_DOMAIN = np.array(["pcm_s16le", "flac", "opus", "mp3"])
+CODEC_WEIGHTS = np.array([0.70, 0.15, 0.10, 0.05])
+VOCAB = [f"word{i:04d}" for i in range(1000)]
+
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+)
+
+
+def _hit(ids: np.ndarray, rule: str) -> np.ndarray:
+    mod, off = RULES[rule]
+    return ids % mod == off
+
+
+def planted_ids(n: int, rule: str) -> list[int]:
+    mod, off = RULES[rule]
+    return list(range(off, n, mod))
+
+
+def plant_manifest(n: int) -> dict[str, list[str]]:
+    """Ground truth: constraint -> sorted clip_ids planted as violations."""
+    m = {rule: [f"clip_{i:010d}" for i in planted_ids(n, rule)] for rule in RULES}
+    return m
+
+
+def _rng(i: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence([SEED, int(i)]))
+
+
+def wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + PCM16 mono payload."""
+    data = pcm.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def clean_pcm(i: int, sr: int, dur_ms: int, max_samples: int = 200_000) -> np.ndarray:
+    """Deterministic noiseless 2-harmonic sine for clip ``i`` — the 'expected
+    decode' oracle the SNR invariant compares against (reference formula,
+    models/utils.py:123-125)."""
+    rng = _rng(i)
+    n_samp = min(int(sr * dur_ms / 1000), max_samples)
+    f1 = 80.0 + 400.0 * rng.random()
+    phase = 2 * np.pi * rng.random()
+    t = np.arange(n_samp, dtype=np.float64) / sr
+    sig = 0.6 * np.sin(2 * np.pi * f1 * t + phase) + 0.25 * np.sin(4 * np.pi * f1 * t)
+    return sig
+
+
+def _noisy_pcm16(i: int, sig: np.ndarray) -> np.ndarray:
+    # fresh child stream so noise doesn't perturb the clean-signal params
+    rng = np.random.default_rng(np.random.SeedSequence([SEED, int(i), 1]))
+    noise = rng.uniform(-1.0, 1.0, sig.shape) * 0.003  # ~ -50 dB, passes SNR>=30
+    return np.clip((sig + noise) * 32000 * 0.9, -32768, 32767).astype(np.int16)
+
+
+def _transcript(i: int) -> str:
+    rng = np.random.default_rng(np.random.SeedSequence([SEED, int(i), 2]))
+    n_words = int(rng.integers(3, 41))
+    idx = rng.integers(0, len(VOCAB), n_words)
+    return " ".join(VOCAB[j] for j in idx)
+
+
+def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
+    out = {"clip_id": [], "bytes": [], "sr_hz": [], "dur_ms": [], "codec": [], "transcript": []}
+    for i in ids:
+        i = int(i)
+        rng = _rng(i)
+        sr = int(SR_DOMAIN[rng.choice(4, p=SR_WEIGHTS)])
+        dur = int(np.exp(rng.normal(6.9, 0.55)))  # lognormal ~ 1000ms median
+        dur = int(np.clip(dur, 200, 30_000))
+        codec = str(CODEC_DOMAIN[rng.choice(4, p=CODEC_WEIGHTS)])
+        if _hit(np.array([i]), "sr_hz_out_of_domain")[0]:
+            sr = 11025
+        if _hit(np.array([i]), "dur_ms_zero")[0]:
+            dur = 0
+        if _hit(np.array([i]), "dur_ms_huge")[0]:
+            dur = 3_600_000
+        if _hit(np.array([i]), "codec_out_of_domain")[0]:
+            codec = "wma"
+
+        sig = clean_pcm(i, sr, max(dur, 200))
+        pcm = _noisy_pcm16(i, sig)
+        if _hit(np.array([i]), "payload_corrupt")[0]:
+            if i % 2 == 0:
+                pcm = pcm[: max(len(pcm) // 2, 1)]       # truncation
+            else:
+                pcm = (pcm.astype(np.int32) * 13 % 65536 - 32768).astype(np.int16)  # garbage
+        b = wav_bytes(pcm, sr)
+
+        transcript: str | None = _transcript(i)
+        if _hit(np.array([i]), "transcript_null")[0]:
+            transcript = None
+        if _hit(np.array([i]), "codec_null")[0]:
+            codec = None
+
+        out["clip_id"].append(f"clip_{i:010d}")
+        out["bytes"].append(b)
+        out["sr_hz"].append(sr)
+        out["dur_ms"].append(dur)
+        out["codec"].append(codec)
+        out["transcript"].append(transcript)
+    return pd.DataFrame(out)
+
+
+def gen_clips(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """The clips fact table, with planted violations + duplicated rows."""
+    base = spark.range(0, n, 1, partitions)
+    dup_ids = [int(i) for i in planted_ids(n, "clip_id_duplicate")]
+    dups = spark.createDataFrame([(i,) for i in dup_ids] or [(int(-1),)], "id long").filter(
+        F.col("id") >= 0
+    )
+    ids = base.unionByName(dups)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _gen_rows(pdf["id"].values)
+
+    return ids.mapInPandas(gen, schema=CLIPS_SCHEMA)
+
+
+def gen_transcripts(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Dimension table: gold transcripts, minus dangling-FK plants, with
+    planted mismatches."""
+    base = spark.range(0, n, 1, partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].values
+            keep = ~_hit(ids, "dangling_fk")
+            ids = ids[keep]
+            rows = {"clip_id": [], "transcript_gold": []}
+            for i in ids:
+                i = int(i)
+                g = _transcript(i)
+                if _hit(np.array([i]), "transcript_mismatch")[0]:
+                    g = g + " xmismatchx"
+                rows["clip_id"].append(f"clip_{i:010d}")
+                rows["transcript_gold"].append(g)
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema="clip_id string, transcript_gold string")
+
+
+def gen_series(spark: SparkSession, n_series: int = 8, n_points: int = 1000) -> DataFrame:
+    """Time-series scoring fixture (FIXTURES.md §6): seeded noisy 2-harmonic
+    sine per series with a level-shift anomaly in a known closed index range
+    (the hexagon-dataset labeled-interval analog, models/utils.py:34-39)."""
+    base = spark.range(0, n_series * n_points, 1, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            gids = pdf["id"].values
+            sid = gids // n_points
+            idx = gids % n_points
+            rows = []
+            for g, s, i in zip(gids, sid, idx):
+                rng = np.random.default_rng(np.random.SeedSequence([SEED, int(s), int(i), 3]))
+                t = i / 50.0
+                v = np.sin(2 * np.pi * 0.7 * t) + 0.3 * np.sin(4 * np.pi * 0.7 * t)
+                v += rng.uniform(-0.05, 0.05)
+                lo, hi = anomaly_range(int(s), n_points)
+                if lo <= i <= hi:
+                    v += 3.0  # level shift
+                rows.append((f"s{int(s):03d}", int(i), float(v)))
+            yield pd.DataFrame(rows, columns=["series_id", "idx", "value"])
+
+    return base.mapInPandas(gen, schema="series_id string, idx long, value double")
+
+
+def anomaly_range(series: int, n_points: int) -> tuple[int, int]:
+    start = 200 + 61 * series % (n_points - 120)
+    return start, start + 40

@@ -1,0 +1,134 @@
+"""End-to-end: planted-violation fixture -> suite run -> exact violation keys.
+
+The Spark analog of the reference's labeled-interval oracle check
+(anomaly_detection.py:463-465): the engine must report exactly the planted
+keys, no more, no less.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from engine import synth
+from engine.runner import validate
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    clips = synth.gen_clips(spark, N, partitions=8).cache()
+    transcripts = synth.gen_transcripts(spark, N, partitions=4).cache()
+    clips.count(), transcripts.count()
+    return clips, transcripts
+
+
+@pytest.fixture(scope="module")
+def result(fixture_tables):
+    clips, transcripts = fixture_tables
+    return validate(clips, transcripts, check_audio=True, n_buckets=16)
+
+
+def _ids(df):
+    return sorted(r["clip_id"] for r in df.select("clip_id").collect())
+
+
+def test_row_counts(fixture_tables):
+    clips, transcripts = fixture_tables
+    manifest = synth.plant_manifest(N)
+    assert clips.count() == N + len(manifest["clip_id_duplicate"])
+    assert transcripts.count() == N - len(manifest["dangling_fk"])
+
+
+def test_range_violations_exact(result):
+    manifest = synth.plant_manifest(N)
+    expected = sorted(manifest["dur_ms_zero"] + manifest["dur_ms_huge"])
+    assert _ids(result.violations["dur_ms_range"]) == expected
+
+
+def test_domain_violations_exact(result):
+    manifest = synth.plant_manifest(N)
+    assert _ids(result.violations["sr_hz_domain"]) == manifest["sr_hz_out_of_domain"]
+    assert _ids(result.violations["codec_domain"]) == manifest["codec_out_of_domain"]
+
+
+def test_null_violations_exact(result):
+    # transcript nulls: suite has no transcript NotNull by default, but codec
+    # nulls aren't in the default suite either — verify via stats instead.
+    stats = {
+        (r["column_name"], r["metric"]): r["value"] for r in result.stats.collect()
+    }
+    manifest = synth.plant_manifest(N)
+    total = N + len(manifest["clip_id_duplicate"])
+    # duplicated rows may also be planted-null rows; recount from rules
+    null_transcripts = sum(
+        1 for cid in _all_row_ids(manifest) if _is(cid, "transcript_null")
+    )
+    assert stats[("transcript", "null_count")] == null_transcripts
+    assert stats[("clip_id", "count")] == total
+
+
+def _all_row_ids(manifest):
+    ids = list(range(N))
+    ids += [int(c.split("_")[1]) for c in manifest["clip_id_duplicate"]]
+    return ids
+
+
+def _is(i, rule):
+    mod, off = synth.RULES[rule]
+    return i % mod == off
+
+
+def test_unique_violations_exact(result):
+    manifest = synth.plant_manifest(N)
+    assert _ids(result.violations["clip_id_unique"]) == manifest["clip_id_duplicate"]
+    row = (
+        result.verdicts.filter("constraint = 'clip_id_unique'").collect()[0]
+    )
+    assert row["violation_count"] == len(manifest["clip_id_duplicate"])
+    assert not row["passed"]
+
+
+def test_ref_integrity_exact(result):
+    manifest = synth.plant_manifest(N)
+    got = _ids(result.violations["transcript_ref_integrity"])
+    # duplicated rows that are also dangling appear twice
+    expected = []
+    for i in _all_row_ids(synth.plant_manifest(N)):
+        if _is(i, "dangling_fk"):
+            expected.append(f"clip_{i:010d}")
+    assert got == sorted(expected)
+
+
+def test_audio_invariants_exact(result):
+    manifest = synth.plant_manifest(N)
+    got = set(r["clip_id"] for r in result.violations["pcm_snr_invariant"].collect())
+    assert got == set(manifest["payload_corrupt"])
+
+
+def test_transcript_equality_exact(result):
+    got = set(r["clip_id"] for r in result.violations["transcript_equality"].collect())
+    # mismatch plants + null transcripts + dangling (no gold) all fail equality
+    expected = set()
+    for i in _all_row_ids(synth.plant_manifest(N)):
+        if _is(i, "transcript_mismatch") or _is(i, "transcript_null") or _is(i, "dangling_fk"):
+            expected.add(f"clip_{i:010d}")
+    assert got == expected
+
+
+def test_partition_verdicts_sum_to_global(result):
+    pv = result.partition_verdicts.groupBy("constraint").sum("violation_count").collect()
+    by_c = {r["constraint"]: r["sum(violation_count)"] for r in pv}
+    for r in result.verdicts.collect():
+        assert by_c[r["constraint"]] == r["violation_count"], r["constraint"]
+
+
+def test_verdicts_invariant_to_bucket_count(fixture_tables):
+    """Reference invariant: verdicts identical across partition counts
+    (SURVEY.md §5d)."""
+    clips, transcripts = fixture_tables
+    r2 = validate(clips, transcripts, n_buckets=2)
+    r32 = validate(clips, transcripts, n_buckets=32)
+    v2 = {(r["constraint"], r["violation_count"], r["passed"]) for r in r2.verdicts.collect()}
+    v32 = {(r["constraint"], r["violation_count"], r["passed"]) for r in r32.verdicts.collect()}
+    assert v2 == v32
