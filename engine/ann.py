@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: one scan, expression-only dot
+product (``zip_with`` + ``aggregate`` — JVM-side, no Python), then a global
+top-k (TakeOrderedAndProject — no full sort). The scale path is IVF: a coarse
+k-means-ish partition (deterministic seeded centroids), each vector assigned
+to its nearest centroid at write time; a query probes only ``n_probe``
+centroid buckets — at 10^12 rows that's the difference between scanning
+everything and scanning ~n_probe/n_centroids of it. An LSH (random
+hyperplane) bucketing variant covers the dedup-style use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k vs a query vector. Deterministic tie-break on id.
+
+    The orderBy+limit lowers to TakeOrderedAndProject: per-partition heap of
+    size k, merge on driver — O(n) scan, no shuffle of the full table."""
+    scored = df.select(
+        F.col(id_col), cosine_to_query(df, vec_col, query).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid — the IVF build
+    pass. Expression-only: one struct-array argmax, no UDF, no shuffle."""
+    scored = [
+        F.struct(
+            cosine_to_query(df, vec_col, c).alias("sim"), F.lit(i).alias("cid")
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*scored))  # struct compare: sim first, cid breaks ties
+    return df.select(F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search: probe the n_probe centroids nearest the query, brute-force
+    within those buckets only. At scale the assignment is precomputed and the
+    table is partitioned by centroid_id → partition pruning does the skip."""
+    qv = np.asarray(query, dtype=np.float64)
+
+    def cos(c):
+        cv = np.asarray(c, dtype=np.float64)
+        return float(cv @ qv / (np.linalg.norm(cv) * np.linalg.norm(qv)))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))[:n_probe]
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    cand = assigned.filter(F.col("centroid_id").isin(probe))
+    return brute_force_topk(cand, vec_col, id_col, query, k)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of <v, h_i> → bucket string.
+    Deterministic seeded planes; expression-only dot products."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))

@@ -110,12 +110,15 @@ def run_suite(
     )
 
     # global stats derived from the SAME scan's partials
-    global_wide = stats_mod.merge_bucket_stats(
-        bucket_wide.drop(*[f"__v__{i}" for i in range(len(row_local))], BUCKET),
-        stat_columns,
-        numeric,
-    )
-    stats_long = stats_mod.finalize_stats(global_wide, stat_columns, numeric)
+    if stat_columns:
+        global_wide = stats_mod.merge_bucket_stats(
+            bucket_wide.drop(*[f"__v__{i}" for i in range(len(row_local))], BUCKET),
+            stat_columns,
+            numeric,
+        )
+        stats_long = stats_mod.finalize_stats(global_wide, stat_columns, numeric)
+    else:
+        stats_long = None
 
     bucket_rows = bucket_wide.select(
         BUCKET, F.col("__rows").cast("long").alias("rows_scanned")

@@ -1,0 +1,174 @@
+"""Deduplication operators for large-scale document pipelines.
+
+All hashing is md5-based (not xxhash64) so every step is reproducible by an
+external ANSI-SQL oracle — and deterministic across engines, cluster sizes and
+resume boundaries (the engine-wide determinism rule, SURVEY.md §7 hard-part 3).
+
+Scale notes (100 TB story):
+  * exact dedup: one shuffle on the 32-hex digest — a narrow key, map-side
+    partial agg absorbs duplicate skew.
+  * MinHash-LSH: shingle explode happens map-side and is immediately
+    re-aggregated per (doc, band) — the shuffle carries only
+    n_docs x n_bands rows, never the exploded shingles.
+  * candidate pairs: self-join on (band, minhash) buckets; hot buckets (e.g.
+    boilerplate docs) are bounded by ``max_bucket_size`` before the join —
+    the standard LSH guard against quadratic blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact duplicate groups:
+    (text_hash, n_docs, keep_id=min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per exact text hash (deterministic keep-first)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(text_col: str, k: int = 3):
+    """k-word shingles as an array column (expression, no UDF).
+
+    Docs with < k words fall back to the whole text as a single shingle.
+    """
+    words = F.split(F.col(text_col), " ")
+    joined = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
+    )
+    return F.when(F.size(words) >= k, joined).otherwise(F.array(F.col(text_col)))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_bands: int = 8, k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash per band: min over shingles of md5(band || '|' || shingle).
+
+    One pass: explode shingles -> groupBy(doc) with one min-agg per band
+    (partial agg collapses the explosion map-side; shuffle carries one row
+    per doc). Returns (id, band, minhash)."""
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"mh_{b}")
+        for b in range(n_bands)
+    ]
+    wide = ex.groupBy(id_col).agg(*aggs)
+    structs = [
+        F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("minhash"))
+        for b in range(n_bands)
+    ]
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("s")
+    ).select(id_col, "s.band", "s.minhash")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
+
+    Buckets larger than ``max_bucket_size`` are dropped (boilerplate guard —
+    at web scale a single hot bucket would otherwise produce O(n^2) pairs).
+    Returns distinct (id_a, id_b) with id_a < id_b."""
+    b = sigs.groupBy("band", "minhash").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("sz")
+    ).filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket_size))
+    a = b.select(F.explode("ids").alias("id_a"), "ids")
+    pairs = a.select(
+        "id_a", F.explode("ids").alias("id_b")
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact k-gram Jaccard on candidate pairs (verification step after LSH).
+
+    Joins the (small) candidate set back to the shingle arrays; the pair set
+    is the broadcast side at scale. Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, k)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    bb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "id_a").join(bb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash from word-level md5 bits — expression-only (no UDF).
+
+    bit_j(doc) = sign( sum over words of (bit_j(md5(word)) ? +1 : -1) ).
+    Uses the first 16 hex chars of md5 as a 64-bit integer. The signature is
+    returned as a 64-char '0'/'1' string (exact, portable — no 64-bit
+    unsigned headaches); near-dup docs differ in few positions (hamming)."""
+    words = F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ex = df.select(F.col(id_col), words).select(
+        F.col(id_col), F.substring(F.md5("w"), 1, 16).alias("h")
+    )
+    # bit j (0 = LSB) lives in hex char 16 - j//4, sub-nibble shift j%4 —
+    # extracted with pure int arithmetic on the hex digit so an external SQL
+    # oracle reproduces it exactly (no 64-bit unsigned conversions)
+    def bit(j):
+        c, s = 16 - j // 4, j % 4
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring("h", c, 1)) - 1
+        return F.floor(digit / F.lit(1 << s)).cast("long") % 2
+
+    bit_aggs = [
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}") for j in range(64)
+    ]
+    wide = ex.groupBy(id_col).agg(*bit_aggs)
+    bits = [
+        F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(63, -1, -1)  # MSB first
+    ]
+    return wide.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def hamming(a, b):
+    """Hamming distance between two equal-length bit-string columns."""
+    n = 64
+    terms = [
+        F.when(F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1), 1).otherwise(0)
+        for j in range(n)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

@@ -1,0 +1,477 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle SQL.
+
+Each entry maps one operator family from SURVEY.md §2 (or a training-data
+pipeline op) onto the driver's TPC-H-ish testdata. Cross-engine float
+determinism rules used throughout:
+
+  * sums/averages go through DECIMAL(38,n) partial sums (exact, order-free),
+    then a double cast — bit-identical in Spark and DuckDB;
+  * outputs that involve engine-internal float algorithms (stddev over a
+    window, interpolated quantiles) are rounded explicitly IN BOTH dialects;
+  * every computed column is aliased identically on both sides;
+  * ties are always broken by a key column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine import ann, dedup, scoring, text
+from engine.suite import ConstraintSuite, Domain, NotNull, Range, RefIntegrity, Unique
+from engine import checks
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# flagship: the validation suite itself, oracle-checked constraint by constraint
+# ---------------------------------------------------------------------------
+
+def lineitem_suite() -> ConstraintSuite:
+    s = ConstraintSuite()
+    s.add(NotNull("l_orderkey_not_null", column="l_orderkey"))
+    s.add(Range("l_quantity_range", column="l_quantity", lo=1, hi=50))
+    s.add(Domain("l_returnflag_domain", column="l_returnflag", allowed=("A", "N", "R")))
+    s.add(Unique("lineitem_pk_unique", columns=("l_orderkey", "l_linenumber")))
+    s.add(
+        RefIntegrity(
+            "l_partkey_ref_part", columns=("l_partkey",), ref_name="part",
+            ref_columns=("p_partkey",),
+        )
+    )
+    return s
+
+
+@register(
+    "suite_verdicts_lineitem",
+    """
+    WITH rows_tot AS (SELECT count(*) AS n FROM lineitem)
+    SELECT c.constraint_name, c.violation_count,
+           (SELECT n FROM rows_tot) AS rows_scanned,
+           c.violation_count = 0 AS passed
+    FROM (
+      SELECT 'l_orderkey_not_null' AS constraint_name,
+             (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS violation_count
+      UNION ALL
+      SELECT 'l_quantity_range',
+             (SELECT count(*) FROM lineitem
+              WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50))
+      UNION ALL
+      SELECT 'l_returnflag_domain',
+             (SELECT count(*) FROM lineitem
+              WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R'))
+      UNION ALL
+      SELECT 'lineitem_pk_unique',
+             (SELECT coalesce(sum(c - 1), 0) FROM (
+                SELECT count(*) AS c FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+      UNION ALL
+      SELECT 'l_partkey_ref_part',
+             (SELECT count(*) FROM lineitem
+              WHERE l_partkey IS NOT NULL
+                AND l_partkey NOT IN (SELECT p_partkey FROM part))
+    ) c
+    """,
+)
+def suite_verdicts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    res = checks.run_suite(
+        li, lineitem_suite(), key_cols=["l_orderkey", "l_linenumber"],
+        refs={"part": part}, n_buckets=32, stat_columns=[],
+    )
+    return res.verdicts.select(
+        F.col("constraint").alias("constraint_name"),
+        "violation_count", "rows_scanned", "passed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation / TPC-H Q1 flagship analytics (A1-A8, decimal-exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec4 = lambda c: F.col(c).cast("decimal(38,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec4("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec4("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).cast("double").alias("sum_disc_price"),
+            (F.sum(dec4("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "stats_lineitem",
+    """
+    WITH base AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE l_quantity IS NULL) AS q_nulls,
+             min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS q_sum,
+             count(*) FILTER (WHERE l_extendedprice IS NULL) AS p_nulls,
+             min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS p_sum,
+             count(*) FILTER (WHERE l_discount IS NULL) AS d_nulls,
+             min(l_discount) AS d_min, max(l_discount) AS d_max,
+             CAST(sum(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) AS d_sum
+      FROM lineitem)
+    SELECT u.column_name, u.metric, u.value FROM base, LATERAL (VALUES
+      ('l_quantity','count', CAST(n AS DOUBLE)),
+      ('l_quantity','null_count', CAST(q_nulls AS DOUBLE)),
+      ('l_quantity','min', q_min), ('l_quantity','max', q_max),
+      ('l_quantity','sum', q_sum),
+      ('l_extendedprice','count', CAST(n AS DOUBLE)),
+      ('l_extendedprice','null_count', CAST(p_nulls AS DOUBLE)),
+      ('l_extendedprice','min', p_min), ('l_extendedprice','max', p_max),
+      ('l_extendedprice','sum', p_sum),
+      ('l_discount','count', CAST(n AS DOUBLE)),
+      ('l_discount','null_count', CAST(d_nulls AS DOUBLE)),
+      ('l_discount','min', d_min), ('l_discount','max', d_max),
+      ('l_discount','sum', d_sum)
+    ) AS u(column_name, metric, value)
+    """,
+)
+def stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).cast("decimal(38,4)")).cast("double").alias(f"{c}__sum"),
+        ]
+    one = li.agg(*aggs)
+    structs = []
+    for c in cols:
+        for m, v in [
+            ("count", F.col("n").cast("double")),
+            ("null_count", F.col(f"{c}__nulls").cast("double")),
+            ("min", F.col(f"{c}__min").cast("double")),
+            ("max", F.col(f"{c}__max").cast("double")),
+            ("sum", F.col(f"{c}__sum")),
+        ]:
+            structs.append(
+                F.struct(F.lit(c).alias("column_name"), F.lit(m).alias("metric"),
+                         v.alias("value"))
+            )
+    return one.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.column_name", "s.metric", "s.value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / RI / domain / range operators (§2.2-2.3 + north_star checks)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_keys_lineitem",
+    """
+    SELECT l_orderkey AS key, count(*) AS key_count
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+)
+def dup_keys_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("key_count"))
+        .filter(F.col("key_count") > 1)
+    )
+
+
+@register(
+    "ri_orders_customer",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+    """,
+)
+def ri_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c.select(F.col("c_custkey").alias("o_custkey")).dropna()),
+              "o_custkey", "left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).dropna(),
+        "c_custkey", "left_anti",
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "domain_violations_events",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE event_type IS NOT NULL
+      AND event_type NOT IN ('click','view','purchase','signup')
+    """,
+)
+def domain_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = Domain("t", column="event_type", allowed=("click", "view", "purchase", "signup"))
+    return ev.filter(d.violation_expr()).select("event_id", "event_type")
+
+
+@register(
+    "range_violations_events",
+    """
+    SELECT event_id, value FROM events
+    WHERE value IS NOT NULL AND (value < 1.0 OR value > 450.0)
+    """,
+)
+def range_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    r = Range("r", column="value", lo=1.0, hi=450.0)
+    return ev.filter(r.violation_expr()).select("event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# threshold / quantile / histogram (A5-A7, P5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "quantile_threshold_events",
+    """
+    WITH t AS (SELECT quantile_cont(value, 0.99) AS thr FROM events)
+    SELECT round(thr, 6) AS threshold,
+           (SELECT count(*) FROM events WHERE value >= (SELECT thr FROM t)) AS n_above
+    FROM t
+    """,
+)
+def quantile_threshold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    thr = ev.agg(F.percentile("value", F.lit(0.99)).alias("thr"))
+    return (
+        ev.crossJoin(thr)
+        .agg(
+            F.round(F.first("thr"), 6).alias("threshold"),
+            F.sum(F.when(F.col("value") >= F.col("thr"), 1).otherwise(0)).alias("n_above"),
+        )
+    )
+
+
+@register(
+    "histogram_events_value",
+    """
+    WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+    SELECT CAST(least(floor((value - mn) / ((mx - mn) / 50.0)), 49) AS INT) AS bucket,
+           count(*) AS n
+    FROM events, b GROUP BY 1
+    """,
+)
+def histogram_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 50.0)),
+                F.lit(49),
+            ).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window / order operators (W1-W4, O1-O5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_epoch FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id", "event_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_epoch"),
+        )
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id, value, prev_value, value - prev_value AS delta FROM (
+      SELECT event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM events) WHERE prev_value IS NOT NULL
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull())
+        .select("event_id", "value", "prev_value",
+                (F.col("value") - F.col("prev_value")).alias("delta"))
+    )
+
+
+@register(
+    "train_split_stats",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events)
+    SELECT event_type, count(*) AS n_train,
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM ranked WHERE rn <= floor(0.75 * n) GROUP BY event_type
+    """,
+)
+def train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.floor(0.75 * F.col("n")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "topk_users_by_value",
+    """
+    SELECT user_id, CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
+    FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10
+    """,
+)
+def topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total"))
+        .orderBy(F.desc("total"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "error_metrics_lag_predictor",
+    """
+    WITH d AS (
+      SELECT value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS err
+      FROM events),
+    dd AS (SELECT value, err FROM d WHERE err IS NOT NULL),
+    m AS (SELECT CAST(sum(CAST(abs(err) AS DECIMAL(38,10))) AS DOUBLE) AS sae,
+                 CAST(sum(CAST(err * err AS DECIMAL(38,10))) AS DOUBLE) AS sse,
+                 CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sv,
+                 count(*) AS n
+          FROM dd),
+    s AS (SELECT CAST(sum(CAST((value - (SELECT sv / n FROM m)) *
+                               (value - (SELECT sv / n FROM m)) AS DECIMAL(38,10)))
+                      AS DOUBLE) AS sst
+          FROM dd)
+    SELECT round(m.sae / m.n, 6) AS mae,
+           round(sqrt(m.sse / m.n), 6) AS rmse,
+           round(1 - m.sse / s.sst, 6) AS r2
+    FROM m, s
+    """,
+)
+def error_metrics_lag_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("err", F.col("value") - F.lag("value").over(w))
+        .filter(F.col("err").isNotNull())
+        .select("value", "err")
+    )
+    dec10 = lambda c: c.cast("decimal(38,10)")
+    m = d.agg(
+        F.sum(dec10(F.abs(F.col("err")))).cast("double").alias("sae"),
+        F.sum(dec10(F.col("err") * F.col("err"))).cast("double").alias("sse"),
+        F.sum(dec10(F.col("value"))).cast("double").alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    row = m.collect()[0]
+    ybar = row["sv"] / row["n"]
+    sst = d.agg(
+        F.sum(dec10((F.col("value") - F.lit(ybar)) * (F.col("value") - F.lit(ybar))))
+        .cast("double").alias("sst")
+    ).collect()[0]["sst"]
+    return m.select(
+        F.round(F.col("sae") / F.col("n"), 6).alias("mae"),
+        F.round(F.sqrt(F.col("sse") / F.col("n")), 6).alias("rmse"),
+        F.round(F.lit(1.0) - F.col("sse") / F.lit(sst), 6).alias("r2"),
+    )

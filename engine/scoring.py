@@ -1,0 +1,156 @@
+"""Reference anomaly-scoring math, Spark-first.
+
+Re-expresses the reference pipeline's scoring semantics (SURVEY.md §2.4):
+
+  W1  sliding-window framing       models/utils.py:79-114  -> F.lag/F.lead over Window
+  W2  rolling reconstruction error anomaly_detection.py:326-343 -> rolling stats + residual
+  A5  quantile threshold           anomaly_detection.py:373 -> percentile / t-digest
+  P5  threshold verdicts           anomaly_detection.py:462-465 -> filter + interval check
+
+Rolling z-score and quantile thresholds are pure built-in window/agg functions
+(JVM-side, whole-stage codegen). EWMA is inherently recursive, so it runs as a
+grouped Arrow UDF (``applyInPandas``) — one pandas ``ewm`` call per series
+partition, zero per-row Python. Threshold fitting follows the reference's
+invariant (§3.1a): fit on the baseline/train slice ONLY, apply to the rest.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ts_to_supervised(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    series_col: str | None = None,
+    n_in: int = 3,
+    n_out: int = 1,
+    drop_incomplete: bool = True,
+) -> DataFrame:
+    """Sliding-window framing (reference ``ts_to_supervised``,
+    models/utils.py:79-114): adds lag columns ``y(t-i)`` and lead columns
+    ``y(t+i)``; drops window-edge rows like the reference's ``dropna``
+    (utils.py:112-113)."""
+    w = Window.orderBy(order_col)
+    if series_col:
+        w = Window.partitionBy(series_col).orderBy(order_col)
+    out = df
+    for i in range(n_in, 0, -1):
+        out = out.withColumn(f"y(t-{i})", F.lag(value_col, i).over(w))
+    out = out.withColumn("y(t)", F.col(value_col))
+    for i in range(1, n_out):
+        out = out.withColumn(f"y(t+{i})", F.lead(value_col, i).over(w))
+    if drop_incomplete:
+        out = out.na.drop(subset=[f"y(t-{n_in})"] + ([f"y(t+{n_out-1})"] if n_out > 1 else []))
+    return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    series_col: str | None = None,
+    window: int = 20,
+    min_periods: int = 5,
+) -> DataFrame:
+    """Rolling z-score over the trailing ``window`` rows (excluding current):
+    z = (x - mean) / stddev. The rolling generalization of the reference's
+    residual-vs-train-stats scoring (anomaly_detection.py:326-379). Pure
+    built-in window functions — no shuffle beyond the partitionBy."""
+    w = (
+        (Window.partitionBy(series_col) if series_col else Window.partitionBy())
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    cnt = F.count(value_col).over(w)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    return (
+        df.withColumn("roll_mean", mean)
+        .withColumn("roll_std", std)
+        .withColumn("roll_n", cnt)
+        .withColumn(
+            "zscore",
+            F.when(
+                (cnt >= min_periods) & (std > 1e-12),
+                (F.col(value_col) - mean) / std,
+            ),
+        )
+    )
+
+
+def ewma_residual(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    series_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """EWMA forecast + residual per series (the reference's
+    carried-state-across-batches semantics, infinite_dataset.py:70-76, as a
+    per-partition sequential scan). Recursive → grouped Arrow UDF; pandas
+    ``ewm(alpha, adjust=True)`` per group, vectorized C inside the batch.
+
+    residual_t = x_t - EWMA(x_{..t-1});  first point has no forecast (null).
+    """
+    cols = df.columns
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", ewma double, residual double"
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        ew = pdf[value_col].ewm(alpha=alpha, adjust=True).mean().shift(1)
+        pdf["ewma"] = ew
+        pdf["residual"] = pdf[value_col] - ew
+        return pdf
+
+    return df.groupBy(series_col).applyInPandas(per_series, schema=schema)
+
+
+def fit_quantile_threshold(
+    train: DataFrame, score_col: str, q: float = 0.99
+) -> float:
+    """Threshold = q-quantile of baseline scores (reference:
+    ``np.quantile(scores, .99)``, anomaly_detection.py:373). Exact percentile;
+    at 10^12 rows swap in the t-digest sketch (engine/sketch.py)."""
+    return train.agg(F.percentile(score_col, F.lit(q)).alias("t")).collect()[0]["t"]
+
+
+def anomaly_verdict(
+    scored: DataFrame,
+    score_col: str,
+    threshold: float,
+    key_cols: list[str],
+) -> DataFrame:
+    """Violation rows: scores >= threshold (reference
+    anomaly_detection.py:462-463 — count + exact positions)."""
+    return scored.filter(F.col(score_col) >= F.lit(threshold)).select(
+        *key_cols, F.col(score_col).alias("score")
+    )
+
+
+def interval_validation(
+    verdicts: DataFrame,
+    idx_col: str,
+    series_col: str,
+    labels: DataFrame,
+) -> DataFrame:
+    """Check flagged indices against labeled anomaly intervals (reference
+    anomaly_detection.py:463-465; labels from filename metadata
+    models/utils.py:34-39). ``labels``: (series_col, anom_start, anom_stop).
+    Returns per-series precision/recall-style counts via one broadcast join."""
+    j = verdicts.join(F.broadcast(labels), series_col, "left")
+    return (
+        j.groupBy(series_col, "anom_start", "anom_stop")
+        .agg(
+            F.count(F.lit(1)).alias("flagged"),
+            F.sum(
+                F.when(
+                    F.col(idx_col).between(F.col("anom_start"), F.col("anom_stop")), 1
+                ).otherwise(0)
+            ).alias("flagged_in_interval"),
+        )
+        .withColumn("all_in_interval", F.col("flagged") == F.col("flagged_in_interval"))
+    )
