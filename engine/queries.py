@@ -475,3 +475,404 @@ def error_metrics_lag_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("sse") / F.col("n")), 6).alias("rmse"),
         F.round(F.lit(1.0) - F.col("sse") / F.lit(sst), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scaling operators (F4/F5) — two-pass stats -> broadcast scalars -> map
+# ---------------------------------------------------------------------------
+
+@register(
+    "minmax_scale_events",
+    """
+    WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+    SELECT event_id, round((value - mn) / (mx - mn), 6) AS scaled FROM events, b
+    """,
+)
+def minmax_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    return ev.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        F.round((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6).alias("scaled"),
+    )
+
+
+@register(
+    "zscore_scale_events",
+    """
+    WITH m AS (
+      SELECT CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS svv,
+             count(value) AS n
+      FROM events),
+    p AS (SELECT sv / n AS mean, sqrt((svv - sv * sv / n) / (n - 1)) AS std FROM m)
+    SELECT event_id, round((value - mean) / std, 6) AS z FROM events, p
+    """,
+)
+def zscore_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dec10 = lambda c: c.cast("decimal(38,10)")
+    m = ev.agg(
+        F.sum(dec10(F.col("value"))).cast("double").alias("sv"),
+        F.sum(dec10(F.col("value") * F.col("value"))).cast("double").alias("svv"),
+        F.count("value").alias("n"),
+    ).select(
+        (F.col("sv") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)).alias("std"),
+    )
+    return ev.crossJoin(F.broadcast(m)).select(
+        "event_id", F.round((F.col("value") - F.col("mean")) / F.col("std"), 6).alias("z")
+    )
+
+
+@register(
+    "rolling_zscore_events",
+    """
+    WITH r AS (
+      SELECT event_id, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS s,
+             count(value) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, round((value - m) / s, 4) AS z
+    FROM r WHERE c >= 5 AND s > 1e-9
+    """,
+)
+def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.scoring import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    r = rolling_zscore(ev, "value", ["ts", "event_id"], series_col="user_id",
+                       window=20, min_periods=5)
+    return r.filter((F.col("roll_n") >= 5) & (F.col("roll_std") > 1e-9)).select(
+        "event_id", F.round("zscore", 4).alias("z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup family (documents)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs, "text", "doc_id")
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(
+               list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             ELSE [text] END) AS shingle
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+"""
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    mh AS (
+      SELECT doc_id, b.band,
+             min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+      GROUP BY doc_id, b.band)
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM mh a JOIN mh c ON a.band = c.band AND a.minhash = c.minhash
+                        AND a.doc_id < c.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n_bands=8, k=3)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1_000_000)
+
+
+@register(
+    "jaccard_pairs_lsh",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    mh AS (
+      SELECT doc_id, b.band,
+             min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+      GROUP BY doc_id, b.band),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM mh a JOIN mh c ON a.band = c.band AND a.minhash = c.minhash
+                          AND a.doc_id < c.doc_id),
+    sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh FROM sh GROUP BY doc_id)
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+    FROM pairs JOIN sets sa ON pairs.id_a = sa.doc_id
+               JOIN sets sb ON pairs.id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.1
+    """,
+)
+def jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n_bands=8, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1_000_000)
+    j = dedup.ngram_jaccard_pairs(docs, pairs, "text", "doc_id", k=3, threshold=0.1)
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_oracle_sql() -> str:
+    bit_terms = []
+    for j in range(64):
+        c, s = 16 - j // 4, j % 4
+        bit = (f"((strpos('0123456789abcdef', substr(hx, {c}, 1)) - 1) // {1 << s}) % 2")
+        bit_terms.append(
+            f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b{j}"
+        )
+    concat = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(63, -1, -1)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    h AS (SELECT doc_id, substr(md5(word), 1, 16) AS hx FROM w),
+    agg AS (SELECT doc_id, {', '.join(bit_terms)} FROM h GROUP BY doc_id)
+    SELECT doc_id, {concat} AS simhash FROM agg
+    """
+
+
+@register("simhash_documents", _simhash_oracle_sql())
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash64(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis (documents)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "['the','a','of','to','and','in','is','it','for','on']"
+
+@register(
+    "lang_id_documents",
+    f"""
+    SELECT doc_id,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                      x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.05
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "quality_score_documents",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop
+      FROM documents)
+    SELECT doc_id, round(
+        (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END) * 0.4
+      + (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 2.0
+              AND (n_chars - (n_words - 1)) / n_words <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+      + (CASE WHEN stop >= 0.01 AND stop <= 0.6 THEN 1.0 ELSE 0.0 END) * 0.3, 6)
+      AS quality
+    FROM q
+    """,
+)
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(text.quality_score("text"), 6).alias("quality"))
+
+
+@register(
+    "token_count_documents",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tc = text.token_counts("text")
+    return docs.select(
+        "doc_id",
+        tc["ws_tokens"].cast("long").alias("ws_tokens"),
+        tc["re_tokens"].cast("long").alias("re_tokens"),
+        tc["n_chars"].cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "winnow_fingerprints_documents",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                    i -> {'pos': i, 'gh': md5(substr(text, i, 8))})) AS u
+      FROM documents),
+    flat AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g),
+    wm AS (SELECT doc_id, pos,
+                  min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+           FROM flat)
+    SELECT doc_id, min(pos) AS pos, fingerprint FROM wm GROUP BY doc_id, fingerprint
+    """,
+)
+def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = text.winnow_fingerprints(docs, "text", "doc_id", k=8, w=4)
+    return fp.select("doc_id", (F.col("pos") + 1).alias("pos"), "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i]))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i]))))"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = _t(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings),
+    s AS (SELECT vec_id, {_COS_SQL.format(a='ev', b='qv')} AS cos_exact FROM e, q)
+    SELECT vec_id, round(cos_exact, 6) AS cos_sim
+    FROM s ORDER BY cos_exact DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    top = ann.brute_force_topk(emb, "embedding", "vec_id", qv, k=10)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings WHERE vec_id % 50 = 0),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_SQL.format(a='ev', b='cv')} DESC, c.cid DESC) AS rn
+        FROM e, c) WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {_COS_SQL.format(a='cv', b='qv')} DESC, c.cid) AS rn
+        FROM c, q) WHERE rn <= 2),
+    cand AS (
+      SELECT e.vec_id, {_COS_SQL.format(a='ev', b='qv')} AS cos_exact
+      FROM e JOIN assign USING (vec_id) JOIN probe ON assign.cid = probe.cid
+      CROSS JOIN q)
+    SELECT vec_id, round(cos_exact, 6) AS cos_sim
+    FROM cand ORDER BY cos_exact DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id % 50 = 0").orderBy("vec_id").collect()
+    ]
+    top = ann.ivf_topk(emb, "embedding", "vec_id", cents, qv, k=10, n_probe=2)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible: recursive EWMA, Arrow-UDF audio,
+# seeded hyperplanes, synthetic-fixture suites)
+# ---------------------------------------------------------------------------
+
+@register("ewma_residual_events")
+def ewma_residual_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.scoring import ewma_residual
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    r = ewma_residual(ev, "value", ["ts", "event_id"], "user_id", alpha=0.1)
+    return r.filter(F.col("residual").isNotNull()).select(
+        "event_id", F.round("ewma", 6).alias("ewma"), F.round("residual", 6).alias("residual")
+    )
+
+
+@register("hyperplane_lsh_bucket_sizes")
+def hyperplane_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    b = ann.hyperplane_lsh_buckets(emb, "embedding", "vec_id", n_planes=12, seed=42, dim=64)
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("series_interval_validation")
+def series_interval_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine import synth
+    from engine.scoring import interval_validation, rolling_zscore
+
+    series = synth.gen_series(spark, n_series=8, n_points=1000)
+    scored = rolling_zscore(series, "value", ["idx"], series_col="series_id",
+                            window=50, min_periods=10)
+    flagged = scored.filter(F.abs(F.col("zscore")) > 3.0).select("series_id", "idx")
+    labels = spark.createDataFrame(
+        [(f"s{s:03d}", *synth.anomaly_range(s, 1000)) for s in range(8)],
+        "series_id string, anom_start long, anom_stop long",
+    )
+    return interval_validation(flagged, "idx", "series_id", labels)
+
+
+@register("clips_suite_verdicts")
+def clips_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine import synth
+    from engine.runner import validate
+
+    clips = synth.gen_clips(spark, 2000, partitions=8)
+    transcripts = synth.gen_transcripts(spark, 2000, partitions=4)
+    res = validate(clips, transcripts, n_buckets=16)
+    return res.verdicts.select("constraint", "violation_count", "rows_scanned", "passed")
+
+
+@register("audio_invariant_violations")
+def audio_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine import audio as audio_mod
+    from engine import synth
+
+    clips = synth.gen_clips(spark, 2000, partitions=8)
+    transcripts = synth.gen_transcripts(spark, 2000, partitions=4)
+    inv = audio_mod.audio_invariants(clips, transcripts)
+    return inv.filter(~F.col("pcm_ok") | ~F.col("transcript_ok")).select(
+        "clip_id", "pcm_ok", "transcript_ok", "decode_error"
+    )

@@ -214,7 +214,8 @@ def gen_series(spark: SparkSession, n_series: int = 8, n_points: int = 1000) -> 
                 v += rng.uniform(-0.05, 0.05)
                 lo, hi = anomaly_range(int(s), n_points)
                 if lo <= i <= hi:
-                    v += 3.0  # level shift
+                    v += 5.0  # level shift (large vs wave amplitude ~1.3 so the
+                    # rolling z-score trips at any phase of the carrier)
                 rows.append((f"s{int(s):03d}", int(i), float(v)))
             yield pd.DataFrame(rows, columns=["series_id", "idx", "value"])
 

@@ -1,0 +1,167 @@
+"""Operator tests that the SQL oracle can't express: EWMA vs pandas,
+MinHash/Jaccard vs a pure-python re-implementation, winnowing, scoring
+interval detection (cross-validation strategy per SURVEY.md §5c)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine import dedup, synth, text
+from engine.scoring import (
+    anomaly_verdict,
+    ewma_residual,
+    fit_quantile_threshold,
+    interval_validation,
+    rolling_zscore,
+    ts_to_supervised,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_ewma_matches_pandas(spark, events):
+    out = (
+        ewma_residual(
+            events.select("event_id", "ts", "user_id", "value"),
+            "value", ["ts", "event_id"], "user_id", alpha=0.2,
+        )
+        .filter("user_id = 7")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    ref = (
+        events.filter("user_id = 7").orderBy("ts", "event_id").toPandas()
+    )
+    exp = ref["value"].ewm(alpha=0.2, adjust=True).mean().shift(1)
+    got = out["ewma"].to_numpy()
+    assert np.allclose(got[1:], exp.to_numpy()[1:], rtol=1e-12)
+    assert np.isnan(got[0])
+
+
+def test_ts_to_supervised_shapes(spark):
+    df = spark.createDataFrame(
+        [(i, float(i * i)) for i in range(10)], "idx long, value double"
+    )
+    sup = ts_to_supervised(df, "value", "idx", n_in=3, n_out=1)
+    rows = {r["idx"]: r for r in sup.collect()}
+    # first 3 rows dropped (window edge, reference utils.py:112-113)
+    assert sorted(rows) == list(range(3, 10))
+    r5 = rows[5]
+    assert (r5["y(t-3)"], r5["y(t-2)"], r5["y(t-1)"], r5["y(t)"]) == (4.0, 9.0, 16.0, 25.0)
+
+
+def test_rolling_zscore_flags_planted_interval(spark):
+    """Fixture §6 contract: flagged indices ⊆ labeled range, and range is hit
+    (reference check at anomaly_detection.py:463-465)."""
+    series = synth.gen_series(spark, n_series=8, n_points=1000).cache()
+    scored = rolling_zscore(series, "value", ["idx"], series_col="series_id",
+                            window=50, min_periods=10)
+    flagged = scored.filter(F.abs(F.col("zscore")) > 3.0).select("series_id", "idx")
+    labels = spark.createDataFrame(
+        [(f"s{s:03d}", *synth.anomaly_range(s, 1000)) for s in range(8)],
+        "series_id string, anom_start long, anom_stop long",
+    )
+    res = interval_validation(flagged, "idx", "series_id", labels).collect()
+    assert len(res) == 8, f"every series must flag something, got {len(res)}"
+    for r in res:
+        # allow edge spill of the rolling window right after the interval
+        assert r["flagged_in_interval"] >= 1, r
+        assert r["flagged_in_interval"] >= r["flagged"] - 5, r
+
+
+def test_threshold_fit_on_train_only(spark, events):
+    thr = fit_quantile_threshold(events.filter("user_id < 50"), "value", q=0.95)
+    v = anomaly_verdict(events, "value", thr, ["event_id"])
+    n = v.count()
+    total = events.count()
+    assert 0 < n < total
+    assert v.agg(F.min("score")).collect()[0][0] >= thr
+
+
+# ---------------------------------------------------------------------------
+# dedup family vs pure-python ground truth
+# ---------------------------------------------------------------------------
+
+def _py_shingles(t: str, k: int = 3) -> set[str]:
+    w = t.split(" ")
+    if len(w) < k:
+        return {t}
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def test_minhash_lsh_vs_python(docs):
+    pdf = docs.limit(60).toPandas()
+    sigs = dedup.minhash_signatures(docs.limit(60), "text", "doc_id", n_bands=8, k=3)
+    got = {(r["doc_id"], r["band"]): r["minhash"] for r in sigs.collect()}
+    for _, row in pdf.iterrows():
+        sh = _py_shingles(row["text"])
+        for b in range(8):
+            exp = min(hashlib.md5(f"{b}|{s}".encode()).hexdigest() for s in sh)
+            assert got[(row["doc_id"], b)] == exp
+
+
+def test_jaccard_pairs_vs_python(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n_bands=8, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    j = dedup.ngram_jaccard_pairs(docs, pairs, "text", "doc_id", k=3, threshold=0.0)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in j.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), jac in list(got.items())[:50]:
+        sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+        exp = len(sa & sb) / len(sa | sb)
+        assert abs(jac - exp) < 1e-12
+
+
+def test_simhash_near_dup_property(spark):
+    """Near-identical docs -> small hamming distance; unrelated -> large."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words about spark shuffle partitions and skew"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df, "text", "doc_id").collect()}
+    d_near = sum(a != b for a, b in zip(sh[0], sh[1]))
+    d_far = sum(a != b for a, b in zip(sh[0], sh[2]))
+    assert d_near < d_far
+    assert d_near <= 16
+    assert len(sh[0]) == 64
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "aaa"), (1, "aaa"), (2, "bbb"), (7, "aaa")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df, "text", "doc_id").collect())
+    assert kept == [1, 2]
+    groups = dedup.exact_dup_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 3 and groups[0]["keep_id"] == 1
+
+
+def test_winnow_fingerprints_vs_python(spark):
+    t = "abcdefghijklmnopqrstuvwxyz0123456789"
+    df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    got = {
+        (r["pos"], r["fingerprint"])
+        for r in text.winnow_fingerprints(df, "text", "doc_id", k=8, w=4).collect()
+    }
+    hashes = [hashlib.md5(t[i : i + 8].encode()).hexdigest() for i in range(len(t) - 7)]
+    mins = {}
+    for i in range(len(hashes)):
+        wmin = min(hashes[i : i + 4])
+        mins.setdefault(wmin, i)
+    exp = {(pos, fp) for fp, pos in mins.items()}
+    assert got == exp
