@@ -1,0 +1,148 @@
+"""Partition-keyed checkpointing: resumable validation with lineage + metrics.
+
+The reference's restart story is per-task CSV persistence (each hyperparameter
+config writes its own results, ``rnn_old.py:266-269``) plus a registry with
+append-on-create semantics (``models/utils.py:200-210``) and
+latest-by-timestamp resolution (``utils.py:226-230``). Generalized here:
+
+  * work is split into ``n_shards`` deterministic key-hash shards
+    (pmod(xxhash64(key), n) — same rule as the verdict buckets, so shard
+    verdicts sum exactly to the global verdicts: duplicates of a key land in
+    one shard, dangling rows count where they live);
+  * each completed shard appends (run_id, shard_id, constraint, counts,
+    secs, updated_at) rows to a checkpoint table — idempotent append keyed by
+    (run_id, shard_id);
+  * resume = read done shard ids for the run_id, skip them, process the rest;
+  * final verdicts = sum over shard rows — equal to an uninterrupted run.
+
+The checkpoint table is parquet here (append mode); on a real deployment it is
+an Iceberg table and each append is a snapshot (time travel = full lineage
+history). At 10^12 rows the fact table is partitioned/bucketed by the same
+hash so a shard scan prunes to its own files instead of re-reading the table.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine import checks
+from engine.suite import ConstraintSuite
+
+CKPT_SCHEMA = (
+    "run_id string, shard_id int, status string, constraint string, "
+    "violation_count long, rows_scanned long, passed boolean, secs double, "
+    "updated_at timestamp"
+)
+
+
+class CheckpointedRunner:
+    def __init__(self, spark: SparkSession, checkpoint_dir: str):
+        self.spark = spark
+        self.dir = checkpoint_dir
+
+    # -- checkpoint table I/O --------------------------------------------------
+    def _read(self) -> DataFrame | None:
+        if not os.path.exists(self.dir):
+            return None
+        try:
+            return self.spark.read.parquet(self.dir)
+        except Exception:
+            return None
+
+    def done_shards(self, run_id: str) -> set[int]:
+        df = self._read()
+        if df is None:
+            return set()
+        rows = (
+            df.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .select("shard_id").distinct().collect()
+        )
+        return {r["shard_id"] for r in rows}
+
+    def _append(self, rows: list[dict]) -> None:
+        pdf = pd.DataFrame(rows)
+        self.spark.createDataFrame(pdf, schema=CKPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.dir)
+
+    # -- resumable run -----------------------------------------------------------
+    def run(
+        self,
+        fact: DataFrame,
+        suite: ConstraintSuite,
+        key_cols: list[str],
+        refs: dict[str, DataFrame] | None = None,
+        run_id: str | None = None,
+        n_shards: int = 8,
+        fail_after: int | None = None,
+    ) -> DataFrame:
+        """Validate ``fact`` shard by shard, checkpointing each; returns global
+        verdicts identical to an uninterrupted run. ``fail_after`` (tests
+        only) raises after that many shards to simulate a crash."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        done = self.done_shards(run_id)
+        shard_col = checks.bucket_expr(key_cols, n_shards)
+        sharded = fact.withColumn("__shard", shard_col)
+
+        processed = 0
+        for s in range(n_shards):
+            if s in done:
+                continue
+            t0 = time.time()
+            shard = sharded.filter(F.col("__shard") == s).drop("__shard")
+            res = checks.run_suite(
+                shard, suite, key_cols=key_cols, refs=refs or {},
+                n_buckets=1, stat_columns=[],
+            )
+            verdicts = res.verdicts.collect()
+            secs = time.time() - t0
+            now = pd.Timestamp.utcnow().tz_localize(None)
+            self._append(
+                [
+                    dict(run_id=run_id, shard_id=s, status="done",
+                         constraint=r["constraint"],
+                         violation_count=r["violation_count"],
+                         rows_scanned=r["rows_scanned"], passed=r["passed"],
+                         secs=secs, updated_at=now)
+                    for r in verdicts
+                ]
+            )
+            processed += 1
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(f"simulated crash after {processed} shards")
+
+        return self.verdicts(run_id)
+
+    def verdicts(self, run_id: str) -> DataFrame:
+        df = self._read()
+        ck = df.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        return (
+            ck.groupBy("constraint")
+            .agg(
+                F.sum("violation_count").cast("long").alias("violation_count"),
+                F.sum("rows_scanned").cast("long").alias("rows_scanned"),
+            )
+            .withColumn("passed", F.col("violation_count") == 0)
+        )
+
+    def lineage(self, run_id: str) -> DataFrame:
+        """Per-shard lineage: status, metrics, timing."""
+        df = self._read()
+        return (
+            df.filter(F.col("run_id") == run_id)
+            .groupBy("shard_id")
+            .agg(
+                F.max("status").alias("status"),
+                F.sum("violation_count").alias("violations"),
+                F.max("rows_scanned").alias("rows_scanned"),
+                F.max("secs").alias("secs"),
+                F.max("updated_at").alias("updated_at"),
+            )
+            .orderBy("shard_id")
+        )
