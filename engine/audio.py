@@ -29,8 +29,8 @@ from engine import synth
 SNR_DB_MIN = 30.0
 
 INVARIANT_SCHEMA = (
-    "clip_id string, bucket_id int, pcm_ok boolean, snr_db double, "
-    "transcript_ok boolean, decode_error string"
+    "clip_id string, bucket_id int, bytes_null boolean, pcm_ok boolean, "
+    "snr_db double, transcript_ok boolean, decode_error string"
 )
 
 
@@ -96,17 +96,22 @@ def audio_invariants(
     transcripts: DataFrame,
     expected_fn: Callable[[str, int, int], np.ndarray] = _default_expected,
     snr_min_db: float = SNR_DB_MIN,
+    broadcast_dim: bool = False,
 ) -> DataFrame:
-    """Per-clip invariant results: pcm_ok (decode + SNR>=min), transcript_ok.
+    """Per-clip invariant results: pcm_ok (decode + SNR>=min), transcript_ok,
+    bytes_null (folded in here so the fused stats scan never has to
+    decompress the binary column — this pass reads it anyway).
 
-    One broadcast join (gold transcripts) + one mapInPandas pass. Returns a
-    DataFrame with INVARIANT_SCHEMA; violations are ``~pcm_ok | ~transcript_ok``.
+    One join (gold transcripts) + one mapInPandas pass. The transcripts dim is
+    fact-sized at 10^12 rows, so the join defaults to Catalyst/AQE's choice
+    (sort-merge or shuffled-hash on clip_id; co-located if both tables are
+    bucketed by clip_id). Pass ``broadcast_dim=True`` only for genuinely small
+    dims. Violations are ``~pcm_ok | ~transcript_ok``.
     """
-    joined = clips.join(
-        F.broadcast(transcripts.select("clip_id", "transcript_gold")),
-        "clip_id",
-        "left",
-    ).select(
+    dim = transcripts.select("clip_id", "transcript_gold")
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    joined = clips.join(dim, "clip_id", "left").select(
         "clip_id",
         F.pmod(F.xxhash64("clip_id"), F.lit(32)).cast("int").alias("bucket_id"),
         "bytes", "sr_hz", "dur_ms", "codec", "transcript", "transcript_gold",
@@ -115,6 +120,7 @@ def audio_invariants(
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
+            bytes_null = pdf["bytes"].isna().to_numpy()
             pcm_ok = np.zeros(n, dtype=bool)
             snrs = np.full(n, np.nan)
             errs: list[str | None] = [None] * n
@@ -146,6 +152,7 @@ def audio_invariants(
                 {
                     "clip_id": pdf["clip_id"],
                     "bucket_id": pdf["bucket_id"],
+                    "bytes_null": bytes_null,
                     "pcm_ok": pcm_ok,
                     "snr_db": snrs,
                     "transcript_ok": t_ok.values,

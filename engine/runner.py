@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from engine import audio as audio_mod
 from engine import checks as checks_mod
-from engine.suite import ConstraintSuite, RowInvariant, audio_clip_suite
+from engine.suite import ConstraintSuite, NotNull, audio_clip_suite
 
 
 def validate(
@@ -35,9 +35,22 @@ def validate(
     suite = suite or audio_clip_suite()
     refs = {"transcripts": transcripts} if transcripts is not None else {}
     stat_columns = stat_columns or [c for c in clips.columns if c != "bytes"]
+
+    # when the audio pass runs, it is the ONLY pass that decompresses the
+    # binary column: bytes-null checks are folded into it instead of forcing
+    # the fused stats scan to read bytes too
+    fused_suite = suite
+    bytes_nn = [
+        c for c in suite.of_type(NotNull) if getattr(c, "column", None) == "bytes"
+    ] if (check_audio and transcripts is not None) else []
+    if bytes_nn:
+        fused_suite = ConstraintSuite(
+            [c for c in suite.constraints if c not in bytes_nn]
+        )
+
     result = checks_mod.run_suite(
         clips,
-        suite,
+        fused_suite,
         key_cols=["clip_id"],
         refs=refs,
         n_buckets=n_buckets,
@@ -46,7 +59,11 @@ def validate(
 
     if check_audio and transcripts is not None:
         inv = audio_mod.audio_invariants(clips, transcripts).cache()
-        for flag, name in (("pcm_ok", "pcm_snr_invariant"), ("transcript_ok", "transcript_equality")):
+        audio_checks = [("pcm_ok", "pcm_snr_invariant"), ("transcript_ok", "transcript_equality")]
+        if bytes_nn:
+            inv = inv.withColumn("bytes_ok", ~F.col("bytes_null"))
+            audio_checks.append(("bytes_ok", bytes_nn[0].name))
+        for flag, name in audio_checks:
             bad = inv.filter(~F.col(flag))
             result.violations[name] = bad.select(
                 "clip_id",

@@ -165,3 +165,39 @@ def test_winnow_fingerprints_vs_python(spark):
         mins.setdefault(wmin, i)
     exp = {(pos, fp) for fp, pos in mins.items()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# skew helpers: salted two-phase aggregation == plain aggregation
+# ---------------------------------------------------------------------------
+
+def test_salted_distinct_count_matches_plain(spark, events):
+    from engine.skew import salted_distinct_count
+
+    salted = {
+        r["event_type"]: r["ndv"]
+        for r in salted_distinct_count(events, ["event_type"], "user_id", 8).collect()
+    }
+    plain = {
+        r["event_type"]: r["ndv"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ndv"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_collect_set_matches_plain(spark, events):
+    from engine.skew import salted_collect_set
+
+    salted = {
+        r["event_type"]: sorted(r["values"])
+        for r in salted_collect_set(events, ["event_type"], "user_id", 8).collect()
+    }
+    plain = {
+        r["event_type"]: sorted(r["vals"])
+        for r in events.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("vals"))
+        .collect()
+    }
+    assert salted == plain
