@@ -876,3 +876,45 @@ def audio_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inv.filter(~F.col("pcm_ok") | ~F.col("transcript_ok")).select(
         "clip_id", "pcm_ok", "transcript_ok", "decode_error"
     )
+
+
+@register("grid_evaluation_series")
+def grid_evaluation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2: hyperparameter-grid fan-out over series (rnn_old.py:256-288)."""
+    from engine import synth
+    from engine.scoring import grid_evaluate
+
+    series = synth.gen_series(spark, n_series=8, n_points=1000)
+    return grid_evaluate(
+        series, "value", "idx", "series_id",
+        configs=[
+            {"window": 50, "threshold": 3.0},
+            {"window": 50, "threshold": 5.0},
+            {"window": 25, "threshold": 3.0},
+            {"window": 100, "threshold": 3.0},
+        ],
+    )
+
+
+@register("kde_threshold_pipeline")
+def kde_threshold_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference flagship's scoring tail (anomaly_detection.py:453-465):
+    KDE fit on the baseline distribution (via t-digest sketch), log-density
+    scores, threshold = q-quantile of baseline scores, verdict rows on the
+    full table. Fit state derives from ONE sketch pass; scoring is one
+    distributed pandas-UDF pass."""
+    from engine.scoring import kde_fit_from_digest, kde_log_density
+    from engine.sketch import TDigest, build_digest
+
+    ev = _t(spark, sf_dir, "events")
+    train = ev.filter("user_id < 100")  # baseline slice (time-ordered analog)
+    digest = build_digest(train, "value", compression=100)
+    pts, w = kde_fit_from_digest(digest)
+    scored_train = kde_log_density(train, "value", pts, w, bandwidth=5.0)
+    thr = scored_train.agg(
+        F.percentile("kde_log_density", F.lit(0.01)).alias("t")
+    ).collect()[0]["t"]
+    scored_all = kde_log_density(ev, "value", pts, w, bandwidth=5.0)
+    return scored_all.filter(F.col("kde_log_density") <= F.lit(thr)).select(
+        "event_id", F.round("kde_log_density", 6).alias("kde_log_density")
+    )

@@ -154,3 +154,101 @@ def interval_validation(
         )
         .withColumn("all_in_interval", F.col("flagged") == F.col("flagged_in_interval"))
     )
+
+
+def kde_log_density(
+    df: DataFrame,
+    value_col: str,
+    fit_points,
+    fit_weights=None,
+    bandwidth: float = 0.1,
+) -> DataFrame:
+    """Gaussian-KDE log-density scoring (reference F11:
+    ``KernelDensity(bandwidth=.1).fit(losses).score_samples``,
+    anomaly_detection.py:371-374,460) as a vectorized pandas UDF.
+
+    The fit set stays tiny (a baseline sample or — the scale path — t-digest
+    centroids with their weights, so the "fit" is derived from a sketch of
+    10^12 rows); scoring is distributed, one Arrow batch at a time:
+    log p(x) = logsumexp_i [ log w_i - (x-p_i)^2 / (2h^2) ] - log(sum w) - log(h*sqrt(2pi)).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pts = np.asarray(fit_points, dtype=np.float64)
+    w = (
+        np.asarray(fit_weights, dtype=np.float64)
+        if fit_weights is not None
+        else np.ones_like(pts)
+    )
+    logw = np.log(w)
+    log_norm = np.log(w.sum()) + np.log(bandwidth * np.sqrt(2 * np.pi))
+    h2 = 2.0 * bandwidth * bandwidth
+
+    @F.pandas_udf("double")
+    def score(s: pd.Series) -> pd.Series:
+        x = s.to_numpy(dtype=np.float64)
+        # (n, m) exponent matrix; m = len(pts) is sketch-sized (hundreds)
+        e = logw[None, :] - (x[:, None] - pts[None, :]) ** 2 / h2
+        mx = e.max(axis=1)
+        out = mx + np.log(np.exp(e - mx[:, None]).sum(axis=1)) - log_norm
+        return pd.Series(out)
+
+    return df.withColumn("kde_log_density", score(F.col(value_col)))
+
+
+def kde_fit_from_digest(digest) -> tuple[list, list]:
+    """Fit inputs for kde_log_density from a t-digest: centroid means as the
+    points, centroid weights as the mixture weights."""
+    digest.compress()
+    return list(digest.means), list(digest.weights)
+
+
+def grid_evaluate(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    series_col: str,
+    configs: list[dict],
+) -> DataFrame:
+    """Parallel hyperparameter-grid evaluation (reference X1/X2: nested
+    joblib.Parallel over configs x datasets x repeats, rnn_old.py:256-288) —
+    here one Spark job: every (series, config) cell is evaluated inside a
+    grouped Arrow UDF, tasks fan out over series partitions exactly like the
+    reference's fork-join fan-out over CPUs.
+
+    Each config: {"window": int, "threshold": float}. Returns per
+    (series, config): flagged count, max |z|, rows evaluated."""
+    import pandas as pd
+
+    cfg = [(i, int(c["window"]), float(c["threshold"])) for i, c in enumerate(configs)]
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        v = pdf[value_col]
+        rows = []
+        for cid, win, thr in cfg:
+            m = v.rolling(win, min_periods=5).mean().shift(1)
+            s = v.rolling(win, min_periods=5).std().shift(1)
+            z = (v - m) / s
+            zabs = z.abs()
+            rows.append(
+                (
+                    pdf[series_col].iloc[0], cid, win, thr,
+                    int((zabs > thr).sum()),
+                    float(zabs.max()) if zabs.notna().any() else float("nan"),
+                    int(z.notna().sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[series_col, "config_id", "window", "threshold",
+                     "flagged", "max_abs_z", "evaluated"],
+        )
+
+    schema = (
+        f"{series_col} string, config_id int, window int, threshold double, "
+        "flagged long, max_abs_z double, evaluated long"
+    )
+    return df.groupBy(series_col).applyInPandas(per_series, schema=schema)
