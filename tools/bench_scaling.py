@@ -58,10 +58,12 @@ print(json.dumps({"cores": cores, "secs": best, "rows": n,
 
 
 def run_level(cores: int, n_clips: int, reps: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), str(n_clips), str(reps)],
-        capture_output=True, text=True, timeout=3000,
-    )
+    # pin the whole process tree (JVM task threads AND python workers) to
+    # `cores` physical cores — without this, local[8]'s python workers spill
+    # onto the other 24 cores and the 8-core baseline is inflated
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", CHILD,
+           str(cores), str(n_clips), str(reps)]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -88,7 +90,8 @@ def main() -> None:
             f"\n## Scaling evidence ({stamp})\n\n"
             f"Full constraint suite (fused checks + stats + dedup + RI + audio\n"
             f"Arrow-UDF invariants), {r8['rows']} clips, identical input/conf, fresh\n"
-            f"JVM per level, caches + Python workers warmed, best of {args.reps} runs:\n\n"
+            f"JVM per level, process tree CPU-pinned to its core count,\n"
+            f"caches + Python workers warmed, best of {args.reps} runs:\n\n"
             f"| parallelism | secs | clips/sec |\n|---|---|---|\n"
             f"| local[8] | {r8['secs']:.1f} | {r8['clips_per_sec']:.0f} |\n"
             f"| local[32] | {r32['secs']:.1f} | {r32['clips_per_sec']:.0f} |\n\n"
