@@ -117,21 +117,34 @@ def audio_invariants(
         "bytes", "sr_hz", "dur_ms", "codec", "transcript", "transcript_gold",
     )
 
-    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            bytes_null = pdf["bytes"].isna().to_numpy()
+    # mapInArrow, not mapInPandas: pandas materializes one Python bytes
+    # object per row (~5s / 250k clips just objectifying the payloads);
+    # Arrow batches give zero-copy pa.Buffer views into the payload column
+    def check(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            n = rb.num_rows
+            col = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            blob = col["bytes"]
+            clip_ids = col["clip_id"].to_pylist()
+            codecs = col["codec"].to_pylist()
+            srs = col["sr_hz"].to_numpy(zero_copy_only=False)
+            durs = col["dur_ms"].to_numpy(zero_copy_only=False)
+
+            bytes_null = np.zeros(n, dtype=bool)
             pcm_ok = np.zeros(n, dtype=bool)
             snrs = np.full(n, np.nan)
             errs: list[str | None] = [None] * n
             for j in range(n):
+                if not blob[j].is_valid:
+                    bytes_null[j] = True
+                    errs[j] = "short_or_null_payload"
+                    continue
                 try:
-                    actual = decode(pdf["bytes"].iloc[j], pdf["codec"].iloc[j])
-                    exp = expected_fn(
-                        pdf["clip_id"].iloc[j],
-                        int(pdf["sr_hz"].iloc[j]),
-                        int(pdf["dur_ms"].iloc[j]),
-                    )
+                    actual = decode(blob[j].as_buffer(), codecs[j])
+                    exp = expected_fn(clip_ids[j], int(srs[j]), int(durs[j]))
                     s = snr_db(exp, actual)
                     snrs[j] = s
                     pcm_ok[j] = s >= snr_min_db
@@ -143,21 +156,19 @@ def audio_invariants(
                 except ValueError as e:
                     pcm_ok[j] = False
                     errs[j] = str(e)
-            t_ok = (
-                pdf["transcript"].notna()
-                & pdf["transcript_gold"].notna()
-                & (pdf["transcript"] == pdf["transcript_gold"])
-            )
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "bucket_id": pdf["bucket_id"],
-                    "bytes_null": bytes_null,
-                    "pcm_ok": pcm_ok,
-                    "snr_db": snrs,
-                    "transcript_ok": t_ok.values,
-                    "decode_error": errs,
-                }
+            t_eq = pc.fill_null(pc.equal(col["transcript"], col["transcript_gold"]), False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    col["clip_id"],
+                    col["bucket_id"],
+                    pa.array(bytes_null),
+                    pa.array(pcm_ok),
+                    pa.array(snrs),
+                    t_eq,
+                    pa.array(errs, type=pa.string()),
+                ],
+                names=["clip_id", "bucket_id", "bytes_null", "pcm_ok", "snr_db",
+                       "transcript_ok", "decode_error"],
             )
 
-    return joined.mapInPandas(check, schema=INVARIANT_SCHEMA)
+    return joined.mapInArrow(check, schema=INVARIANT_SCHEMA)
