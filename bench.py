@@ -92,12 +92,8 @@ def run_suite_bench(spark) -> tuple[float, int, dict]:
         t0 = time.time()
         res = validate(clips, transcripts, check_audio=True, n_buckets=64)
         verdicts = {r["constraint"]: r["violation_count"] for r in res.verdicts.collect()}
-        # violation rows are part of the contract: one fused scan for all
-        # row-local constraints + the dedup/RI/audio violation sets
-        viol_rows = res.violations_union.count()
-        for name in ("clip_id_unique", "transcript_ref_integrity",
-                     "pcm_snr_invariant", "transcript_equality"):
-            viol_rows += res.violations[name].count()
+        # violation rows are part of the contract: every source unioned = 1 job
+        viol_rows = res.all_violations.count()
         stats_rows = res.stats.count()
         run_secs = time.time() - t0
         secs = run_secs if secs is None else min(secs, run_secs)

@@ -92,6 +92,7 @@ class SuiteResult:
     stats: DataFrame | None = None           # (column_name, metric, value)
     bucket_stats: DataFrame | None = None    # wide per-bucket partials (lineage)
     violations_union: DataFrame | None = None  # all row-local violations, one scan
+    all_violations: DataFrame | None = None    # every violation source unioned
 
 
 def run_suite(

@@ -94,6 +94,30 @@ def validate(
                     F.sum("rows_scanned").cast("long").alias("rows_scanned"),
                 ).withColumn("passed", F.col("violation_count") == 0)
             )
+
+    # one union of every violation source -> materializing the full violation
+    # set is ONE action (vs one job per constraint). Row-local constraints
+    # come from the fused violations_union scan; per-constraint DFs for them
+    # stay available in result.violations but are excluded here (double count).
+    row_local_names = {c.name for c in fused_suite.row_local()}
+    union_parts = []
+    if result.violations_union is not None:
+        union_parts.append(
+            result.violations_union.select(
+                "clip_id", "constraint", "offending_value", checks_mod.BUCKET
+            )
+        )
+    for name, vdf in result.violations.items():
+        if name in row_local_names:
+            continue
+        union_parts.append(
+            vdf.select("clip_id", "constraint", "offending_value", checks_mod.BUCKET)
+        )
+    if union_parts:
+        all_v = union_parts[0]
+        for p in union_parts[1:]:
+            all_v = all_v.unionByName(p)
+        result.all_violations = all_v
     return result
 
 
