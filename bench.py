@@ -27,7 +27,9 @@ from engine.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CLIPS = int(os.environ.get("TSAD_BENCH_CLIPS", "50000"))
+# 250k x ~24KB clips: large enough that the suite's fixed costs (~18s of
+# session/JIT/scheduling) don't dominate the throughput number
+N_CLIPS = int(os.environ.get("TSAD_BENCH_CLIPS", "250000"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 BENCH_QUERIES = [

@@ -69,10 +69,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=50000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--n", type=int, default=8, help="small level (large = 4x)")
     args = ap.parse_args()
 
-    r8 = run_level(8, args.clips, args.reps)
-    r32 = run_level(32, args.clips, args.reps)
+    r8 = run_level(args.n, args.clips, args.reps)
+    r32 = run_level(args.n * 4, args.clips, args.reps)
     eff = (r8["secs"] / r32["secs"]) / 4.0
     report = {
         "local8": r8, "local32": r32,
@@ -90,9 +91,9 @@ def main() -> None:
             f"JVM per level, process tree CPU-pinned to its core count,\n"
             f"caches + Python workers warmed, best of {args.reps} runs:\n\n"
             f"| parallelism | secs | clips/sec |\n|---|---|---|\n"
-            f"| local[8] | {r8['secs']:.1f} | {r8['clips_per_sec']:.0f} |\n"
-            f"| local[32] | {r32['secs']:.1f} | {r32['clips_per_sec']:.0f} |\n\n"
-            f"Scaling efficiency (T_8/T_32)/4 = **{eff:.3f}** (target >= 0.8).\n"
+            f"| local[{args.n}] | {r8['secs']:.1f} | {r8['clips_per_sec']:.0f} |\n"
+            f"| local[{args.n * 4}] | {r32['secs']:.1f} | {r32['clips_per_sec']:.0f} |\n\n"
+            f"Scaling efficiency (T_N/T_4N)/4 = **{eff:.3f}** (target >= 0.8).\n"
         )
 
 
