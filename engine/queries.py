@@ -918,3 +918,193 @@ def kde_threshold_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored_all.filter(F.col("kde_log_density") <= F.lit(thr)).select(
         "event_id", F.round("kde_log_density", 6).alias("kde_log_density")
     )
+
+
+# ---------------------------------------------------------------------------
+# additional relational operators (coverage widening)
+# ---------------------------------------------------------------------------
+
+@register(
+    "argmax_event",
+    """
+    SELECT event_id, value FROM events
+    WHERE value IS NOT NULL ORDER BY value DESC, event_id LIMIT 1
+    """,
+)
+def argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: position of the max (np.argwhere(losses == losses.max()),
+    anomaly_detection.py:454) — TakeOrderedAndProject, no full sort."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .orderBy(F.desc("value"), "event_id")
+        .limit(1)
+        .select("event_id", "value")
+    )
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(CAST(props->>'k' AS INT) AS DECIMAL(38,4))) AS DOUBLE) AS sum_k,
+           min(CAST(props->>'k' AS INT)) AS min_k,
+           max(CAST(props->>'k' AS INT)) AS max_k
+    FROM events WHERE props IS NOT NULL GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (events.props) + decimal-exact aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k.cast("decimal(38,4)")).cast("double").alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@register(
+    "sessionization_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30min starts a session (lag + running sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(prev.cast("timestamp"))) > 1800),
+        1,
+    ).otherwise(0)
+    g = ev.withColumn("new_s", new_s)
+    sess = g.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (rollup) — subtotals + grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+    )
+
+
+@register(
+    "pivot_events_by_type",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
+@register(
+    "dedup_keep_first_documents",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def dedup_keep_first_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, "text", "doc_id").select("doc_id", "lang")
+
+
+@register("drift_report_clips")
+def drift_report_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS/PSI drift verdicts: clean clips vs a +25%-dur / codec-shifted
+    generation (t-digest sketches, FIXTURES.md §3). Rows-only: sketch math is
+    not SQL-expressible; accuracy is pytest-verified vs exact quantiles."""
+    from engine import drift, synth
+
+    clips = synth.gen_clips(spark, 2000, partitions=8).cache()
+    baseline = drift.fit_baseline(clips, ["dur_ms", "sr_hz"], ["codec"])
+    drifted = clips.withColumn("dur_ms", (F.col("dur_ms") * 1.25).cast("int"))
+    rep = drift.drift_check(drifted, baseline)
+    return spark.createDataFrame(rep).select(
+        "column_name", "metric", F.round("value", 4).alias("value"), "passed"
+    )
+
+
+@register("checkpoint_resume_verdicts")
+def checkpoint_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded checkpoint run (engine/checkpoint.py): verdicts merged from
+    per-shard lineage rows — equals an uninterrupted run (pytest-proven)."""
+    import tempfile
+
+    from engine import synth
+    from engine.checkpoint import CheckpointedRunner
+    from engine.suite import audio_clip_suite
+
+    clips = synth.gen_clips(spark, 2000, partitions=8)
+    tr = synth.gen_transcripts(spark, 2000, partitions=4)
+    with tempfile.TemporaryDirectory() as d:
+        runner = CheckpointedRunner(spark, f"{d}/ckpt")
+        v = runner.run(clips, audio_clip_suite(), ["clip_id"],
+                       refs={"transcripts": tr}, run_id="driver", n_shards=4)
+        v = v.orderBy("constraint")
+        rows = v.collect()
+    return spark.createDataFrame(rows, v.schema)
