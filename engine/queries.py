@@ -1108,3 +1108,40 @@ def checkpoint_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = v.orderBy("constraint")
         rows = v.collect()
     return spark.createDataFrame(rows, v.schema)
+
+
+@register(
+    "robust_scale_events",
+    """
+    WITH q AS (SELECT quantile_cont(value, 0.5) AS med,
+                      quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+               FROM events)
+    SELECT event_id, round((value - med) / iqr, 6) AS scaled FROM events, q
+    """,
+)
+def robust_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 scaler family: robust scaler (median/IQR), two-pass stats ->
+    broadcast scalars -> map (reference registry anomaly_detection.py:267-275)."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        (F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25))).alias("iqr"),
+    )
+    return ev.crossJoin(F.broadcast(q)).select(
+        "event_id", F.round((F.col("value") - F.col("med")) / F.col("iqr"), 6).alias("scaled")
+    )
+
+
+@register(
+    "maxabs_scale_events",
+    """
+    WITH m AS (SELECT max(abs(value)) AS ma FROM events)
+    SELECT event_id, round(value / ma, 6) AS scaled FROM events, m
+    """,
+)
+def maxabs_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.max(F.abs(F.col("value"))).alias("ma"))
+    return ev.crossJoin(F.broadcast(m)).select(
+        "event_id", F.round(F.col("value") / F.col("ma"), 6).alias("scaled")
+    )
