@@ -94,9 +94,18 @@ def clean_pcm(i: int, sr: int, dur_ms: int, max_samples: int = 200_000) -> np.nd
     n_samp = min(int(sr * dur_ms / 1000), max_samples)
     f1 = 80.0 + 400.0 * rng.random()
     phase = 2 * np.pi * rng.random()
-    t = np.arange(n_samp, dtype=np.float64) / sr
-    sig = 0.6 * np.sin(2 * np.pi * f1 * t + phase) + 0.25 * np.sin(4 * np.pi * f1 * t)
-    return sig
+    # in-place evaluation of 0.6*sin(2pi f1 t + phase) + 0.25*sin(4pi f1 t);
+    # this runs once per clip in the validation UDF's hot path
+    a = np.arange(n_samp, dtype=np.float64)
+    a *= (2 * np.pi * f1) / sr
+    b = a * 2.0
+    a += phase
+    np.sin(a, out=a)
+    np.sin(b, out=b)
+    a *= 0.6
+    b *= 0.25
+    a += b
+    return a
 
 
 def _noisy_pcm16(i: int, sig: np.ndarray) -> np.ndarray:
@@ -134,6 +143,10 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
         sig = clean_pcm(i, sr, max(dur, 200))
         pcm = _noisy_pcm16(i, sig)
         if _hit(np.array([i]), "payload_corrupt")[0]:
+            # corrupt payloads are planted on a decodable codec — otherwise the
+            # sandbox's stubbed flac/opus/mp3 decoders (engine/audio.py) would
+            # make ~30% of the plants undetectable by design
+            codec = "pcm_s16le"
             if i % 2 == 0:
                 pcm = pcm[: max(len(pcm) // 2, 1)]       # truncation
             else:
