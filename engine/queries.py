@@ -1145,3 +1145,42 @@ def maxabs_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.crossJoin(F.broadcast(m)).select(
         "event_id", F.round(F.col("value") / F.col("ma"), 6).alias("scaled")
     )
+
+
+@register(
+    "asof_join_error_to_click",
+    """
+    SELECT e.event_id, CAST(epoch_ms(c.ts) AS BIGINT) AS click_ts_ms
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def asof_join_error_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §4 'common patterns'):
+    for each 'error' event, the user's latest 'click' at-or-before it.
+    Implemented as tag-union + last_value over an ordered window — one shuffle
+    on user_id, no range-join blowup; equivalent to ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.lit(1).alias("is_click"), F.lit(None).cast("long").alias("event_id")
+    )
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id", "ts", F.lit(0).alias("is_click"), "event_id"
+    )
+    u = clicks.unionByName(errors)
+    # order clicks before errors at identical ts (asof uses e.ts >= c.ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ts = F.last(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        u.withColumn("click_ts", click_ts)
+        .filter("is_click = 0")
+        .select(
+            "event_id",
+            F.unix_millis(F.col("click_ts").cast("timestamp")).alias("click_ts_ms"),
+        )
+    )
