@@ -172,3 +172,53 @@ def hamming(a, b):
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Full SimHash near-dup pipeline: signature -> band-bucket join ->
+    hamming verification.
+
+    The 64-bit signature is split into ``n_bands`` contiguous bands; by the
+    pigeonhole principle any pair within ``max_hamming < n_bands`` differing
+    bits shares at least one identical band, so candidate generation is an
+    equi-join on (band, band_bits) — no O(n^2) comparison. Hot buckets are
+    bounded like in MinHash-LSH. Returns (id_a, id_b, hamming_dist)."""
+    width = 64 // n_bands
+    sigs = simhash64(df, text_col, id_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("simhash", b * width + 1, width).alias("bits"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("s"),
+    ).select(id_col, "simhash", "s.band", "s.bits")
+    b = bands.groupBy("band", "bits").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))).alias("rows"),
+        F.count(F.lit(1)).alias("sz"),
+    ).filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket_size))
+    a = b.select(F.explode("rows").alias("ra"), "rows")
+    pairs = (
+        a.select("ra", F.explode("rows").alias("rb"))
+        .filter(F.col("ra.id") < F.col("rb.id"))
+        .select(
+            F.col("ra.id").alias("id_a"),
+            F.col("rb.id").alias("id_b"),
+            hamming(F.col("ra.sh"), F.col("rb.sh")).alias("hamming_dist"),
+        )
+        .filter(F.col("hamming_dist") <= max_hamming)
+        .distinct()
+    )
+    return pairs

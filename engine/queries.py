@@ -1184,3 +1184,12 @@ def asof_join_error_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis(F.col("click_ts").cast("timestamp")).alias("click_ts_ms"),
         )
     )
+
+
+@register("simhash_near_dup_pairs_documents")
+def simhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pipeline (signature -> pigeonhole band buckets ->
+    hamming verify). Rows-only: signature math oracle-checked separately via
+    simhash_documents; pairing verified in pytest."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=6)

@@ -149,11 +149,17 @@ class TDigest:
 # distributed build: per-partition digests via Arrow batches, merged centrally
 # ---------------------------------------------------------------------------
 
-def build_digest(df: DataFrame, column: str, compression: int = 200) -> TDigest:
+def build_digest(
+    df: DataFrame, column: str, compression: int = 200, tree_combine: bool = False
+) -> TDigest:
     """One scan: per-partition t-digests built from Arrow batches
-    (vectorized ``add``), merged on the driver. The merge is associative —
-    on a real cluster the partials fan in through ``treeAggregate``-style
-    combining; at <=10^4 partitions a flat driver merge is equally exact."""
+    (vectorized ``add``), merged associatively.
+
+    ``tree_combine=False``: flat driver merge — exact and fine up to ~10^4
+    partitions. ``tree_combine=True``: treeAggregate semantics — an
+    intermediate executor-side combine level (digests shuffled into
+    ~sqrt(n_partitions) groups, merged per group) before the driver merge, so
+    at 10^6-partition scale the driver only ever sees ~10^3 partials."""
     col_df = df.select(F.col(column).cast("double").alias("v"))
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,10 +168,29 @@ def build_digest(df: DataFrame, column: str, compression: int = 200) -> TDigest:
             d.add(pdf["v"].to_numpy())
         yield pd.DataFrame({"digest": [d.to_bytes()]})
 
-    parts = col_df.mapInPandas(per_partition, schema="digest binary").collect()
+    partials = col_df.mapInPandas(per_partition, schema="digest binary")
+
+    if tree_combine:
+        n_parts = col_df.rdd.getNumPartitions()
+        fan_in = max(int(n_parts ** 0.5), 1)
+
+        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            d = TDigest(compression)
+            got = False
+            for pdf in batches:
+                for b in pdf["digest"]:
+                    d.merge(TDigest.from_bytes(bytes(b)))
+                    got = True
+            if got:
+                yield pd.DataFrame({"digest": [d.to_bytes()]})
+
+        partials = partials.repartition(fan_in).mapInPandas(
+            combine, schema="digest binary"
+        )
+
     out = TDigest(compression)
-    for r in parts:
-        out.merge(TDigest.from_bytes(r["digest"]))
+    for r in partials.collect():
+        out.merge(TDigest.from_bytes(bytes(r["digest"])))
     return out
 
 

@@ -201,3 +201,22 @@ def test_salted_collect_set_matches_plain(spark, events):
         .collect()
     }
     assert salted == plain
+
+
+def test_simhash_near_dup_pairs(spark):
+    from engine.dedup import simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today and more words here"
+    near = base.replace("today", "tomorrow")
+    far1 = "completely different words about spark shuffle partitions and skew handling in clusters"
+    far2 = "yet another unrelated document mentioning benchmarks latency throughput and caching"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far1), (3, far2), (4, base + " extra")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming_dist"]
+        for r in simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(a in (0, 1, 4) and b in (0, 1, 4) for a, b in pairs)

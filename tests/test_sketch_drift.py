@@ -113,3 +113,16 @@ def test_baseline_save_load_roundtrip(spark, tmp_path):
         b.digests["dur_ms"].quantile(0.5)
     )
     assert b2.cat_counts == b.cat_counts
+
+
+def test_tree_combine_equals_flat(spark):
+    from pyspark.sql import functions as F
+
+    from engine.sketch import build_digest
+
+    df = spark.range(0, 40_000, 1, 16).select((F.rand(seed=3) * 50).alias("v"))
+    flat = build_digest(df, "v")
+    tree = build_digest(df, "v", tree_combine=True)
+    assert tree.total_weight == flat.total_weight
+    for q in (0.05, 0.5, 0.95, 0.99):
+        assert abs(tree.quantile(q) - flat.quantile(q)) < 0.5
