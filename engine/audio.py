@@ -54,11 +54,77 @@ def decode_wav_pcm16(b: bytes) -> np.ndarray:
     return np.frombuffer(payload[:data_len], dtype="<i2").astype(np.float64) / 32768.0
 
 
+def validate_flac_header(b: bytes) -> None:
+    """FLAC container integrity: 'fLaC' magic + a STREAMINFO first metadata
+    block of the mandatory 34-byte length with a sane sample rate."""
+    if b is None or len(b) < 42:
+        raise ValueError("bad_flac_header")
+    if b[:4] != b"fLaC":
+        raise ValueError("bad_flac_header")
+    block_type = b[4] & 0x7F
+    length = int.from_bytes(b[5:8], "big")
+    if block_type != 0 or length != 34:
+        raise ValueError("bad_flac_header")
+    packed = int.from_bytes(b[18:26], "big")
+    sr = packed >> 44
+    if not (1 <= sr <= 655350):
+        raise ValueError("bad_flac_header")
+
+
+def validate_ogg_page(b: bytes) -> None:
+    """Ogg first-page integrity: 'OggS' magic, version 0, and the page CRC
+    (poly 0x04C11DB7) recomputed over the page with a zeroed crc field."""
+    from engine.synth import ogg_crc
+
+    if b is None or len(b) < 28:
+        raise ValueError("bad_ogg_page")
+    if b[:4] != b"OggS" or b[4] != 0:
+        raise ValueError("bad_ogg_page")
+    n_segs = b[26]
+    if len(b) < 27 + n_segs:
+        raise ValueError("bad_ogg_page")
+    seg_table = b[27 : 27 + n_segs]
+    page_len = 27 + n_segs + sum(seg_table)
+    if len(b) < page_len:
+        raise ValueError("bad_ogg_page")
+    stored = struct.unpack("<I", b[22:26])[0]
+    page = bytearray(b[:page_len])
+    page[22:26] = b"\x00\x00\x00\x00"
+    if ogg_crc(bytes(page)) != stored:
+        raise ValueError("bad_ogg_page")
+
+
+def validate_mp3_frame(b: bytes) -> None:
+    """MPEG frame-header integrity: 11-bit sync, valid layer, non-reserved
+    bitrate and sample-rate indices."""
+    if b is None or len(b) < 4:
+        raise ValueError("bad_mp3_frame")
+    if b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
+        raise ValueError("bad_mp3_frame")
+    layer = (b[1] >> 1) & 0x03
+    bitrate_idx = (b[2] >> 4) & 0x0F
+    sr_idx = (b[2] >> 2) & 0x03
+    if layer == 0 or bitrate_idx == 0x0F or sr_idx == 3:
+        raise ValueError("bad_mp3_frame")
+
+
+_HEADER_VALIDATORS = {
+    "flac": validate_flac_header,
+    "opus": validate_ogg_page,
+    "mp3": validate_mp3_frame,
+}
+
+
 def decode(b: bytes, codec: str | None) -> np.ndarray:
     if codec in (None, "pcm_s16le", "wav"):
         return decode_wav_pcm16(b)
-    # flac/opus/mp3 decode requires codec libs not present in this image;
-    # the seam is here — same signature, same downstream math.
+    if codec in _HEADER_VALIDATORS:
+        # body decode requires codec libs not present in this image, but the
+        # container header IS verified (magic / STREAMINFO / page CRC / frame
+        # sync) — a corrupted flac/opus/mp3 clip raises ValueError here and
+        # becomes a violation instead of silently auto-passing.
+        _HEADER_VALIDATORS[codec](b)
+        raise NotImplementedError(f"codec_decoder_missing:{codec}")
     raise NotImplementedError(f"codec_decoder_missing:{codec}")
 
 
@@ -121,13 +187,17 @@ def audio_invariants(
     dim = transcripts.select("clip_id", "transcript_gold")
     if broadcast_dim:
         dim = F.broadcast(dim)
+    # aggregate to ONE row per clip_id: duplicated clips (a planted/expected
+    # condition) would otherwise fan out k x k rows in the final join and
+    # inflate rows_scanned / violation counts of every audio check
     t_res = (
         clips.select("clip_id", "transcript")
         .join(dim, "clip_id", "left")
-        .select(
-            "clip_id",
-            F.coalesce(F.col("transcript") == F.col("transcript_gold"), F.lit(False))
-            .alias("transcript_ok"),
+        .groupBy("clip_id")
+        .agg(
+            F.min(
+                F.coalesce(F.col("transcript") == F.col("transcript_gold"), F.lit(False))
+            ).alias("transcript_ok")
         )
     )
 

@@ -48,6 +48,24 @@ def bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def suite_passed_expr(suite: ConstraintSuite) -> Column:
+    """pass/fail from (constraint, violation_count, rows_scanned) columns:
+    NotNull honors its max_null_rate tolerance; everything else needs 0
+    violations. Shared by the batch runner AND the checkpoint-resume merge so
+    a resumed run's flags provably match an uninterrupted run."""
+    rate_entries = []
+    for c in suite.of_type(NotNull):
+        rate_entries += [F.lit(c.name), F.lit(float(c.max_null_rate))]
+    allowed_rate = (
+        F.coalesce(F.create_map(*rate_entries)[F.col("constraint")], F.lit(0.0))
+        if rate_entries
+        else F.lit(0.0)
+    )
+    return (
+        F.col("violation_count") / F.greatest(F.col("rows_scanned"), F.lit(1))
+    ) <= allowed_rate
+
+
 def _violation_expr(c, df: DataFrame) -> Column:
     if isinstance(c, RowInvariant):
         return c.violation_expr_for(df)
@@ -185,7 +203,10 @@ def run_suite(
             .groupBy(*keys)
             .agg(
                 F.count(F.lit(1)).alias("key_count"),
-                F.first(BUCKET).alias(BUCKET),
+                # min, not first: when the Unique columns differ from key_cols
+                # a group's rows can carry different bucket_ids and first() is
+                # nondeterministic across cluster sizes / resumes
+                F.min(BUCKET).alias(BUCKET),
             )
             .filter(F.col("key_count") > 1)
         )
@@ -244,36 +265,16 @@ def run_suite(
     for p in parts[1:]:
         partition_verdicts = partition_verdicts.unionByName(p)
 
-    # pass/fail: NotNull honors max_null_rate; everything else needs 0 violations
-    rate_entries = []
-    for c in suite.of_type(NotNull):
-        rate_entries += [F.lit(c.name), F.lit(float(c.max_null_rate))]
-    allowed_rate = (
-        F.coalesce(
-            F.create_map(*rate_entries)[F.col("constraint")] if rate_entries else F.lit(None),
-            F.lit(0.0),
-        )
-        if rate_entries
-        else F.lit(0.0)
-    )
-
+    passed_expr = suite_passed_expr(suite)
     globals_df = (
         partition_verdicts.groupBy("constraint")
         .agg(
             F.sum("violation_count").cast("long").alias("violation_count"),
             F.sum("rows_scanned").cast("long").alias("rows_scanned"),
         )
-        .withColumn(
-            "passed",
-            (F.col("violation_count") / F.greatest(F.col("rows_scanned"), F.lit(1)))
-            <= allowed_rate,
-        )
+        .withColumn("passed", passed_expr)
     )
-    partition_verdicts = partition_verdicts.withColumn(
-        "passed",
-        (F.col("violation_count") / F.greatest(F.col("rows_scanned"), F.lit(1)))
-        <= allowed_rate,
-    )
+    partition_verdicts = partition_verdicts.withColumn("passed", passed_expr)
 
     return SuiteResult(
         verdicts=globals_df,

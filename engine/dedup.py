@@ -174,6 +174,29 @@ def hamming(a, b):
     return out
 
 
+def band_spans(n_bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Partition ``n_bits`` into ``n_bands`` contiguous (start, width) spans;
+    the first ``n_bits % n_bands`` bands are one bit wider so every bit is
+    covered even when n_bands does not divide n_bits."""
+    base, extra = divmod(n_bits, n_bands)
+    spans, pos = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        spans.append((pos, w))
+        pos += w
+    return spans
+
+
+def _band_structs(n_bands: int):
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", start + 1, width).alias("bits"),
+        )
+        for b, (start, width) in enumerate(band_spans(64, n_bands))
+    ]
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -188,22 +211,20 @@ def simhash_near_dup_pairs(
     The 64-bit signature is split into ``n_bands`` contiguous bands; by the
     pigeonhole principle any pair within ``max_hamming < n_bands`` differing
     bits shares at least one identical band, so candidate generation is an
-    equi-join on (band, band_bits) — no O(n^2) comparison. Hot buckets are
-    bounded like in MinHash-LSH. Returns (id_a, id_b, hamming_dist)."""
-    width = 64 // n_bands
+    equi-join on (band, band_bits) — no O(n^2) comparison. Completeness
+    REQUIRES ``max_hamming < n_bands``: ``n_bands`` is bumped to
+    ``max_hamming + 1`` automatically when the caller's value would violate
+    the pigeonhole condition (bands may then have uneven widths). Hot buckets
+    are bounded like in MinHash-LSH. Returns (id_a, id_b, hamming_dist)."""
+    if max_hamming >= n_bands:
+        n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError(f"n_bands must be <= 64, got {n_bands}")
     sigs = simhash64(df, text_col, id_col)
     bands = sigs.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.substring("simhash", b * width + 1, width).alias("bits"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("s"),
+        F.explode(F.array(*_band_structs(n_bands))).alias("s"),
     ).select(id_col, "simhash", "s.band", "s.bits")
     b = bands.groupBy("band", "bits").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))).alias("rows"),

@@ -80,7 +80,9 @@ def lineitem_suite() -> ConstraintSuite:
               WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R'))
       UNION ALL
       SELECT 'lineitem_pk_unique',
-             (SELECT coalesce(sum(c - 1), 0) FROM (
+             -- CAST: DuckDB sums to HUGEINT; the driver's value hash is
+             -- type-sensitive, Spark returns BIGINT
+             (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
                 SELECT count(*) AS c FROM lineitem
                 WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
                 GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
@@ -311,6 +313,44 @@ def quantile_threshold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tdigest_quantile_accuracy",
+    """
+    SELECT * FROM (VALUES (0.25, true), (0.5, true), (0.75, true), (0.99, true))
+    t(q, rank_error_ok)
+    """,
+)
+def tdigest_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 at 10^12-row scale: quantiles from ONE mergeable t-digest pass
+    (exact F.percentile buffers all values per group — fine at sf0.1, fatal
+    at 10^12 rows). The oracle-checkable claim is the sketch's rank-error
+    bound: for each q, the fraction of values <= q_sketch must be within
+    0.01 of q (t-digest k1 bound is ~4q(1-q)/compression = 0.005 at the
+    median for compression=200). Exact |q_sketch - q_exact| is additionally
+    pytest-pinned (tests/test_sketch_drift.py)."""
+    from engine.sketch import build_digest
+
+    ev = _t(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.75, 0.99]
+    digest = build_digest(ev, "value", compression=200)
+    thr = {q: digest.quantile(q) for q in qs}
+    agg = ev.agg(
+        F.count("value").alias("n"),
+        *[
+            F.sum(F.when(F.col("value") <= F.lit(thr[q]), 1).otherwise(0)).alias(f"le_{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(q).alias("q"),
+            (F.abs(F.col(f"le_{i}") / F.col("n") - F.lit(q)) <= 0.01).alias("rank_error_ok"),
+        )
+        for i, q in enumerate(qs)
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.q", "s.rank_error_ok")
+
+
+@register(
     "histogram_events_value",
     """
     WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
@@ -411,6 +451,64 @@ def train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_split_stats_ranged",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events)
+    SELECT event_type, count(*) AS n_train,
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM ranked WHERE rn <= floor(0.75 * n) GROUP BY event_type
+    """,
+)
+def train_split_stats_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 ordered split, 100x-scale plan: the exact variant above sorts the
+    whole table in ONE task (Window.orderBy with no partitionBy). Here the
+    global rank is assembled from range buckets — two passes, all parallel:
+
+      1. bucket rows by ts range (bucket id monotone in ts, so ties never
+         straddle a boundary), count rows per bucket;
+      2. cumulative bucket offsets (a window over B tiny rows) are broadcast
+         back; global rank = offset + per-bucket row_number — B parallel
+         sorts instead of one global one.
+
+    Same oracle as train_split_stats; the result is identical."""
+    ev = _t(spark, sf_dir, "events")
+    B = 64
+    mm = ev.agg(
+        F.unix_millis(F.min("ts").cast("timestamp")).alias("mn"),
+        F.unix_millis(F.max("ts").cast("timestamp")).alias("mx"),
+    )
+    t = F.unix_millis(F.col("ts").cast("timestamp"))
+    bucket = F.least(
+        F.floor((t - F.col("mn")) / ((F.col("mx") - F.col("mn") + 1) / F.lit(float(B)))),
+        F.lit(B - 1),
+    ).cast("int")
+    bucketed = ev.crossJoin(F.broadcast(mm)).withColumn("__b", bucket).drop("mn", "mx")
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    wl = Window.partitionBy("__b").orderBy("ts", "event_id")
+    ranked = bucketed.join(F.broadcast(offsets), "__b").withColumn(
+        "rn", F.col("offset") + F.row_number().over(wl)
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.floor(0.75 * F.col("n")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "topk_users_by_value",
     """
     SELECT user_id, CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
@@ -437,19 +535,19 @@ def topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT CAST(sum(CAST(abs(err) AS DECIMAL(38,10))) AS DOUBLE) AS sae,
                  CAST(sum(CAST(err * err AS DECIMAL(38,10))) AS DOUBLE) AS sse,
                  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sv,
+                 CAST(sum(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS svv,
                  count(*) AS n
-          FROM dd),
-    s AS (SELECT CAST(sum(CAST((value - (SELECT sv / n FROM m)) *
-                               (value - (SELECT sv / n FROM m)) AS DECIMAL(38,10)))
-                      AS DOUBLE) AS sst
           FROM dd)
-    SELECT round(m.sae / m.n, 6) AS mae,
-           round(sqrt(m.sse / m.n), 6) AS rmse,
-           round(1 - m.sse / s.sst, 6) AS r2
-    FROM m, s
+    SELECT round(sae / n, 6) AS mae,
+           round(sqrt(sse / n), 6) AS rmse,
+           round(1 - sse / (svv - sv * sv / n), 6) AS r2
+    FROM m
     """,
 )
 def error_metrics_lag_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 MAE/RMSE/R² in ONE aggregation pass, zero collects: the total sum of
+    squares is sst = svv - sv²/n, so the extra sum(value²) partial replaces
+    the second full scan of the round-1 version."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     d = (
@@ -462,18 +560,14 @@ def error_metrics_lag_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec10(F.abs(F.col("err")))).cast("double").alias("sae"),
         F.sum(dec10(F.col("err") * F.col("err"))).cast("double").alias("sse"),
         F.sum(dec10(F.col("value"))).cast("double").alias("sv"),
+        F.sum(dec10(F.col("value") * F.col("value"))).cast("double").alias("svv"),
         F.count(F.lit(1)).alias("n"),
     )
-    row = m.collect()[0]
-    ybar = row["sv"] / row["n"]
-    sst = d.agg(
-        F.sum(dec10((F.col("value") - F.lit(ybar)) * (F.col("value") - F.lit(ybar))))
-        .cast("double").alias("sst")
-    ).collect()[0]["sst"]
+    sst = F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")
     return m.select(
         F.round(F.col("sae") / F.col("n"), 6).alias("mae"),
         F.round(F.sqrt(F.col("sse") / F.col("n")), 6).alias("rmse"),
-        F.round(F.lit(1.0) - F.col("sse") / F.lit(sst), 6).alias("r2"),
+        F.round(F.lit(1.0) - F.col("sse") / sst, 6).alias("r2"),
     )
 
 
@@ -583,16 +677,23 @@ _SHINGLE_SQL = """
       SELECT doc_id, b.band,
              min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS minhash
       FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
-      GROUP BY doc_id, b.band)
+      GROUP BY doc_id, b.band),
+    buckets AS (
+      SELECT band, minhash FROM mh GROUP BY band, minhash
+      HAVING count(*) > 1 AND count(*) <= 1000)
     SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-    FROM mh a JOIN mh c ON a.band = c.band AND a.minhash = c.minhash
+    FROM mh a JOIN buckets USING (band, minhash)
+              JOIN mh c ON a.band = c.band AND a.minhash = c.minhash
                         AND a.doc_id < c.doc_id
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered with the REAL anti-blowup guard (max_bucket_size=1000, the
+    standard LSH defense against hot boilerplate buckets at web scale); the
+    oracle applies the same bucket-size filter."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", n_bands=8, k=3)
-    return dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1_000_000)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1000)
 
 
 @register(
@@ -604,9 +705,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS minhash
       FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
       GROUP BY doc_id, b.band),
+    buckets AS (
+      SELECT band, minhash FROM mh GROUP BY band, minhash
+      HAVING count(*) > 1 AND count(*) <= 1000),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-      FROM mh a JOIN mh c ON a.band = c.band AND a.minhash = c.minhash
+      FROM mh a JOIN buckets USING (band, minhash)
+                JOIN mh c ON a.band = c.band AND a.minhash = c.minhash
                           AND a.doc_id < c.doc_id),
     sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh FROM sh GROUP BY doc_id)
     SELECT id_a, id_b,
@@ -621,7 +726,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", n_bands=8, k=3)
-    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1_000_000)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1000)
     j = dedup.ngram_jaccard_pairs(docs, pairs, "text", "doc_id", k=3, threshold=0.1)
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -820,18 +925,58 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seeded hyperplanes, synthetic-fixture suites)
 # ---------------------------------------------------------------------------
 
-@register("ewma_residual_events")
+@register(
+    "ewma_residual_events",
+    """
+    WITH ord AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    -- pandas ewm(alpha=0.1, adjust=True).mean().shift(1) closed form:
+    -- ewma_t = sum_{i<t} x_i (1-a)^(t-1-i) / sum_{i<t} (1-a)^(t-1-i).
+    -- O(n^2) per series is fine at oracle scale; round(...,4) absorbs the
+    -- summation-order difference vs pandas' recursive update.
+    e AS (
+      SELECT a.event_id, a.value,
+             sum(b.value * pow(0.9, a.rn - 1 - b.rn))
+               / sum(pow(0.9, a.rn - 1 - b.rn)) AS ewma
+      FROM ord a JOIN ord b ON a.user_id = b.user_id AND b.rn < a.rn
+      GROUP BY a.event_id, a.value)
+    SELECT event_id, round(ewma, 4) AS ewma, round(value - ewma, 4) AS residual
+    FROM e
+    """,
+)
 def ewma_residual_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.scoring import ewma_residual
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     r = ewma_residual(ev, "value", ["ts", "event_id"], "user_id", alpha=0.1)
     return r.filter(F.col("residual").isNotNull()).select(
-        "event_id", F.round("ewma", 6).alias("ewma"), F.round("residual", 6).alias("residual")
+        "event_id", F.round("ewma", 4).alias("ewma"), F.round("residual", 4).alias("residual")
     )
 
 
-@register("hyperplane_lsh_bucket_sizes")
+def _hyperplane_oracle_sql(n_planes: int = 12, seed: int = 42, dim: int = 64) -> str:
+    """Inline the seeded hyperplanes as double literals; the sum chain is
+    left-associated exactly like Spark's F.aggregate fold, so the sign bits
+    (and therefore the buckets) are IEEE-bit-identical across engines."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def dot(p) -> str:
+        return " + ".join(f"(embedding[{i + 1}] * {x!r})" for i, x in enumerate(p))
+
+    bits = " || ".join(
+        f"(CASE WHEN ({dot(p)}) >= 0 THEN '1' ELSE '0' END)" for p in planes
+    )
+    return (
+        f"SELECT bucket, count(*) AS n FROM "
+        f"(SELECT {bits} AS bucket FROM embeddings) GROUP BY bucket"
+    )
+
+
+@register("hyperplane_lsh_bucket_sizes", _hyperplane_oracle_sql())
 def hyperplane_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     b = ann.hyperplane_lsh_buckets(emb, "embedding", "vec_id", n_planes=12, seed=42, dim=64)
@@ -854,27 +999,91 @@ def series_interval_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_validation(flagged, "idx", "series_id", labels)
 
 
-@register("clips_suite_verdicts")
+# ground-truth oracles for the synthetic-fixture queries: the planting rules
+# (engine/synth.py RULES) are closed-form modular conditions on the row id, so
+# the expected verdicts/violations are INDEPENDENTLY derivable in pure SQL —
+# a stronger oracle than recomputation (it checks generator + engine at once).
+_FIXTURE_N = 2000
+
+_CLIPS_SUITE_ORACLE = f"""
+    WITH ids AS (SELECT unnest(range(0, {_FIXTURE_N})) AS i),
+    b AS (SELECT i, CASE WHEN i % 1000 = 7 THEN 2 ELSE 1 END AS w FROM ids),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS n FROM b)
+    SELECT c.constraint_name, c.violation_count,
+           (SELECT n FROM tot) AS rows_scanned,
+           c.violation_count = 0 AS passed
+    FROM (
+      SELECT 'clip_id_not_null' AS constraint_name, CAST(0 AS BIGINT) AS violation_count
+      UNION ALL SELECT 'bytes_not_null', CAST(0 AS BIGINT)
+      UNION ALL SELECT 'dur_ms_range',
+        (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 19 OR i % 4000 = 21
+                                       THEN w ELSE 0 END), 0) AS BIGINT) FROM b)
+      UNION ALL SELECT 'sr_hz_domain',
+        (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 17 THEN w ELSE 0 END), 0)
+                AS BIGINT) FROM b)
+      UNION ALL SELECT 'codec_domain',
+        -- 'wma' plants, minus ids where codec_null / corrupt plants override
+        (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 23 AND i % 500 != 11
+                                        AND i % 3000 != 41
+                                       THEN w ELSE 0 END), 0) AS BIGINT) FROM b)
+      UNION ALL SELECT 'clip_id_unique',
+        (SELECT CAST(coalesce(sum(w - 1), 0) AS BIGINT) FROM b WHERE w > 1)
+      UNION ALL SELECT 'transcript_ref_integrity',
+        (SELECT CAST(coalesce(sum(CASE WHEN i % 1000 = 37 THEN w ELSE 0 END), 0)
+                AS BIGINT) FROM b)
+    ) c
+"""
+
+
+@register("clips_suite_verdicts", _CLIPS_SUITE_ORACLE)
 def clips_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import synth
     from engine.runner import validate
 
-    clips = synth.gen_clips(spark, 2000, partitions=8)
-    transcripts = synth.gen_transcripts(spark, 2000, partitions=4)
+    clips = synth.gen_clips(spark, _FIXTURE_N, partitions=8)
+    transcripts = synth.gen_transcripts(spark, _FIXTURE_N, partitions=4)
     res = validate(clips, transcripts, n_buckets=16)
-    return res.verdicts.select("constraint", "violation_count", "rows_scanned", "passed")
+    return res.verdicts.select(
+        F.col("constraint").alias("constraint_name"),
+        "violation_count", "rows_scanned", "passed",
+    )
 
 
-@register("audio_invariant_violations")
+_AUDIO_INV_ORACLE = f"""
+    WITH ids AS (SELECT unnest(range(0, {_FIXTURE_N})) AS i),
+    v AS (
+      SELECT i,
+        NOT (i % 2000 = 13 OR i % 3000 = 41) AS pcm_ok,
+        NOT (i % 2000 = 29 OR i % 500 = 3 OR i % 1000 = 37) AS transcript_ok,
+        CASE WHEN i % 3000 = 41 THEN
+          CASE ((i - 41) // 3000) % 3
+            WHEN 0 THEN 'bad_flac_header'
+            WHEN 1 THEN 'bad_ogg_page'
+            ELSE 'bad_mp3_frame' END
+        END AS decode_error,
+        CASE WHEN i % 1000 = 7 THEN 2 ELSE 1 END AS w
+      FROM ids)
+    SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 10, '0') AS clip_id,
+           pcm_ok, transcript_ok, decode_error
+    FROM v JOIN (SELECT unnest(range(1, 3)) AS dup) d ON d.dup <= v.w
+    WHERE NOT pcm_ok OR NOT transcript_ok
+"""
+
+
+@register("audio_invariant_violations", _AUDIO_INV_ORACLE)
 def audio_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import audio as audio_mod
     from engine import synth
 
-    clips = synth.gen_clips(spark, 2000, partitions=8)
-    transcripts = synth.gen_transcripts(spark, 2000, partitions=4)
+    clips = synth.gen_clips(spark, _FIXTURE_N, partitions=8)
+    transcripts = synth.gen_transcripts(spark, _FIXTURE_N, partitions=4)
     inv = audio_mod.audio_invariants(clips, transcripts)
+    # decode_error is surfaced only when it CAUSED the violation — for
+    # passing rows it records incidental facts (e.g. codec_decoder_missing)
+    # that depend on the rng-drawn codec and aren't part of the contract
     return inv.filter(~F.col("pcm_ok") | ~F.col("transcript_ok")).select(
-        "clip_id", "pcm_ok", "transcript_ok", "decode_error"
+        "clip_id", "pcm_ok", "transcript_ok",
+        F.when(~F.col("pcm_ok"), F.col("decode_error")).alias("decode_error"),
     )
 
 
@@ -896,25 +1105,78 @@ def grid_evaluation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kde_threshold_pipeline")
+_KDE_M = 32          # fit-grid size
+_KDE_BW = 5.0        # bandwidth
+_KDE_QS = [(i + 0.5) / _KDE_M for i in range(_KDE_M)]
+
+
+def _kde_oracle_sql() -> str:
+    qs = ", ".join(repr(q) for q in _KDE_QS)
+    # log p(x) = mx + ln(sum_i exp(e_i - mx)) - ln(m) - ln(h*sqrt(2*pi)),
+    # e_i = -(x - p_i)^2 / (2 h^2) — the numerically-stable logsumexp used by
+    # the Spark UDF (engine/scoring.py kde_log_density with unit weights)
+    def score(x: str) -> str:
+        es = f"list_transform(pts, p -> -(({x} - p) * ({x} - p)) / {2 * _KDE_BW * _KDE_BW!r})"
+        return (
+            f"(list_max({es}) + ln(list_sum(list_transform({es}, "
+            f"v -> exp(v - list_max({es}))))) "
+            f"- ln({float(_KDE_M)!r}) - ln({_KDE_BW!r} * sqrt(2 * pi())))"
+        )
+
+    return f"""
+    WITH train AS (SELECT value FROM events WHERE user_id < 100),
+    p AS (SELECT quantile_cont(value, [{qs}]) AS pts FROM train),
+    st AS (SELECT {score('t.value')} AS ld FROM train t, p),
+    thr AS (SELECT quantile_cont(ld, 0.01) AS thr FROM st),
+    sa AS (SELECT e.event_id, {score('e.value')} AS ld FROM events e, p)
+    SELECT event_id, round(ld, 6) AS kde_log_density
+    FROM sa, thr WHERE ld <= thr
+    """
+
+
+@register("kde_threshold_pipeline", _kde_oracle_sql())
 def kde_threshold_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference flagship's scoring tail (anomaly_detection.py:453-465):
-    KDE fit on the baseline distribution (via t-digest sketch), log-density
-    scores, threshold = q-quantile of baseline scores, verdict rows on the
-    full table. Fit state derives from ONE sketch pass; scoring is one
-    distributed pandas-UDF pass."""
-    from engine.scoring import kde_fit_from_digest, kde_log_density
-    from engine.sketch import TDigest, build_digest
+    KDE fit on the baseline distribution, log-density scores, threshold =
+    q-quantile of baseline scores, verdict rows on the full table. This
+    oracle-parity variant fits on an exact-quantile grid (both engines
+    compute identical fit points); the 10^12-row path is the t-digest
+    variant below (kde_threshold_pipeline_sketch)."""
+    from engine.scoring import kde_log_density
 
     ev = _t(spark, sf_dir, "events")
     train = ev.filter("user_id < 100")  # baseline slice (time-ordered analog)
-    digest = build_digest(train, "value", compression=100)
-    pts, w = kde_fit_from_digest(digest)
-    scored_train = kde_log_density(train, "value", pts, w, bandwidth=5.0)
+    pts = train.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in _KDE_QS])).alias("p")
+    ).collect()[0]["p"]
+    scored_train = kde_log_density(train, "value", list(pts), None, bandwidth=_KDE_BW)
     thr = scored_train.agg(
         F.percentile("kde_log_density", F.lit(0.01)).alias("t")
     ).collect()[0]["t"]
-    scored_all = kde_log_density(ev, "value", pts, w, bandwidth=5.0)
+    scored_all = kde_log_density(ev, "value", list(pts), None, bandwidth=_KDE_BW)
+    return scored_all.filter(F.col("kde_log_density") <= F.lit(thr)).select(
+        "event_id", F.round("kde_log_density", 6).alias("kde_log_density")
+    )
+
+
+@register("kde_threshold_pipeline_sketch")
+def kde_threshold_pipeline_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of the KDE pipeline: fit state derives from ONE t-digest
+    sketch pass (centroids+weights), so the 'fit' summarizes 10^12 rows in
+    ~200 centroids. Rows-only: digest centroids are not SQL-expressible;
+    sketch accuracy is pytest-pinned vs exact quantiles (test_sketch_drift)."""
+    from engine.scoring import kde_fit_from_digest, kde_log_density
+    from engine.sketch import build_digest
+
+    ev = _t(spark, sf_dir, "events")
+    train = ev.filter("user_id < 100")
+    digest = build_digest(train, "value", compression=100)
+    pts, w = kde_fit_from_digest(digest)
+    scored_train = kde_log_density(train, "value", pts, w, bandwidth=_KDE_BW)
+    thr = scored_train.agg(
+        F.percentile("kde_log_density", F.lit(0.01)).alias("t")
+    ).collect()[0]["t"]
+    scored_all = kde_log_density(ev, "value", pts, w, bandwidth=_KDE_BW)
     return scored_all.filter(F.col("kde_log_density") <= F.lit(thr)).select(
         "event_id", F.round("kde_log_density", 6).alias("kde_log_density")
     )
@@ -974,14 +1236,19 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization_events",
     """
     WITH g AS (
+      -- epoch_ms on both sides: DuckDB epoch() yields fractional seconds while
+      -- Spark unix_timestamp truncates — a gap within 1s of the boundary would
+      -- silently diverge. Milliseconds are exact in both engines.
       SELECT user_id, ts, event_id,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB's running sum is HUGEINT, Spark's is BIGINT and
+             -- the driver's value hash is type-sensitive
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g)
     SELECT user_id, session_id, count(*) AS n_events
     FROM s GROUP BY user_id, session_id
@@ -994,8 +1261,8 @@ def sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag(F.col("ts")).over(w)
     new_s = F.when(
         prev.isNull()
-        | ((F.unix_timestamp(F.col("ts").cast("timestamp"))
-            - F.unix_timestamp(prev.cast("timestamp"))) > 1800),
+        | ((F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(prev.cast("timestamp"))) > 1800000),
         1,
     ).otherwise(0)
     g = ev.withColumn("new_s", new_s)
@@ -1076,8 +1343,10 @@ def dedup_keep_first_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("drift_report_clips")
 def drift_report_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS/PSI drift verdicts: clean clips vs a +25%-dur / codec-shifted
-    generation (t-digest sketches, FIXTURES.md §3). Rows-only: sketch math is
-    not SQL-expressible; accuracy is pytest-verified vs exact quantiles."""
+    generation (t-digest sketches, FIXTURES.md §3). Rows-only: the sketch
+    statistic VALUES are not SQL-expressible; the pass/fail pattern is
+    oracle-checked separately (drift_verdicts_clips) and sketch accuracy is
+    pytest-verified vs exact quantiles."""
     from engine import drift, synth
 
     clips = synth.gen_clips(spark, 2000, partitions=8).cache()
@@ -1089,23 +1358,50 @@ def drift_report_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("checkpoint_resume_verdicts")
+@register(
+    "drift_verdicts_clips",
+    """
+    SELECT * FROM (VALUES
+      ('dur_ms', 'ks', false), ('dur_ms', 'psi', false),
+      ('sr_hz', 'ks', true), ('sr_hz', 'psi', true),
+      ('codec', 'psi_categorical', true)
+    ) t(column_name, metric, passed)
+    """,
+)
+def drift_verdicts_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth drift verdicts: ONLY dur_ms is perturbed (+25%), so its
+    KS and PSI must trip while sr_hz and the codec mix stay clean — an
+    independently-known expected pattern the sketch pipeline must reproduce."""
+    from engine import drift, synth
+
+    clips = synth.gen_clips(spark, 2000, partitions=8).cache()
+    baseline = drift.fit_baseline(clips, ["dur_ms", "sr_hz"], ["codec"])
+    drifted = clips.withColumn("dur_ms", (F.col("dur_ms") * 1.25).cast("int"))
+    rep = drift.drift_check(drifted, baseline)
+    return spark.createDataFrame(rep).select("column_name", "metric", "passed")
+
+
+@register("checkpoint_resume_verdicts", _CLIPS_SUITE_ORACLE)
 def checkpoint_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded checkpoint run (engine/checkpoint.py): verdicts merged from
-    per-shard lineage rows — equals an uninterrupted run (pytest-proven)."""
+    per-shard lineage rows — must equal an uninterrupted run, so the same
+    planting-rule ground-truth oracle applies."""
     import tempfile
 
     from engine import synth
     from engine.checkpoint import CheckpointedRunner
     from engine.suite import audio_clip_suite
 
-    clips = synth.gen_clips(spark, 2000, partitions=8)
-    tr = synth.gen_transcripts(spark, 2000, partitions=4)
+    clips = synth.gen_clips(spark, _FIXTURE_N, partitions=8)
+    tr = synth.gen_transcripts(spark, _FIXTURE_N, partitions=4)
     with tempfile.TemporaryDirectory() as d:
         runner = CheckpointedRunner(spark, f"{d}/ckpt")
         v = runner.run(clips, audio_clip_suite(), ["clip_id"],
                        refs={"transcripts": tr}, run_id="driver", n_shards=4)
-        v = v.orderBy("constraint")
+        v = v.select(
+            F.col("constraint").alias("constraint_name"),
+            "violation_count", "rows_scanned", "passed",
+        ).orderBy("constraint_name")
         rows = v.collect()
     return spark.createDataFrame(rows, v.schema)
 
@@ -1186,10 +1482,42 @@ def asof_join_error_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_near_dup_pairs_documents")
+def _simhash_pairs_oracle_sql(
+    max_hamming: int = 6, n_bands: int = 8, max_bucket_size: int = 1000
+) -> str:
+    """Band substrings + hamming distance on the (already oracle-checked)
+    simhash signature — plain SQL mirror of dedup.simhash_near_dup_pairs."""
+    width = 64 // n_bands
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {j + 1}, 1) != substr(c.simhash, {j + 1}, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+    WITH sig AS ({_simhash_oracle_sql()}),
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             substr(simhash, b.band * {width} + 1, {width}) AS bits
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS band) b),
+    buckets AS (
+      SELECT band, bits FROM bands GROUP BY band, bits
+      HAVING count(*) > 1 AND count(*) <= {max_bucket_size}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             CAST({ham} AS INTEGER) AS hamming_dist
+      FROM bands a
+      JOIN buckets USING (band, bits)
+      JOIN bands c ON a.band = c.band AND a.bits = c.bits AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b, hamming_dist FROM cand WHERE hamming_dist <= {max_hamming}
+    """
+
+
+@register("simhash_near_dup_pairs_documents", _simhash_pairs_oracle_sql())
 def simhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pipeline (signature -> pigeonhole band buckets ->
-    hamming verify). Rows-only: signature math oracle-checked separately via
-    simhash_documents; pairing verified in pytest."""
+    hamming verify); n_bands=8 > max_hamming=6 keeps candidate generation
+    complete, bucket guard at its production value."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=6)
+    return dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=6, n_bands=8, max_bucket_size=1000
+    )

@@ -110,11 +110,19 @@ def ewma_residual(
 
 
 def fit_quantile_threshold(
-    train: DataFrame, score_col: str, q: float = 0.99
+    train: DataFrame, score_col: str, q: float = 0.99, method: str = "exact"
 ) -> float:
     """Threshold = q-quantile of baseline scores (reference:
-    ``np.quantile(scores, .99)``, anomaly_detection.py:373). Exact percentile;
-    at 10^12 rows swap in the t-digest sketch (engine/sketch.py)."""
+    ``np.quantile(scores, .99)``, anomaly_detection.py:373).
+
+    ``method="exact"``: F.percentile — buffers every group value in executor
+    memory, fine at test scale, fatal at 10^12 rows. ``method="tdigest"``:
+    one mergeable-sketch pass (engine/sketch.py), bounded memory at any scale;
+    rank error ~ 4q(1-q)/compression (pytest-pinned in test_sketch_drift)."""
+    if method == "tdigest":
+        from engine.sketch import build_digest
+
+        return build_digest(train, score_col, compression=200).quantile(q)
     return train.agg(F.percentile(score_col, F.lit(q)).alias("t")).collect()[0]["t"]
 
 

@@ -159,37 +159,50 @@ def build_digest(
     partitions. ``tree_combine=True``: treeAggregate semantics — an
     intermediate executor-side combine level (digests shuffled into
     ~sqrt(n_partitions) groups, merged per group) before the driver merge, so
-    at 10^6-partition scale the driver only ever sees ~10^3 partials."""
+    at 10^6-partition scale the driver only ever sees ~10^3 partials.
+
+    Determinism: digest merge order perturbs the centroids slightly, so every
+    level is keyed and ordered — each partial carries its source partition id,
+    the combine level groups on ``pmod(pid, fan_in)`` (not round-robin
+    ``repartition()``, which is retry-nondeterministic) and merges in pid
+    order, and the driver merges the combine outputs in group-key order.
+    Re-running the same input yields a bit-identical digest."""
     col_df = df.select(F.col(column).cast("double").alias("v"))
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
         d = TDigest(compression)
         for pdf in batches:
             d.add(pdf["v"].to_numpy())
-        yield pd.DataFrame({"digest": [d.to_bytes()]})
+        yield pd.DataFrame({"pid": [pid], "digest": [d.to_bytes()]})
 
-    partials = col_df.mapInPandas(per_partition, schema="digest binary")
+    partials = col_df.mapInPandas(per_partition, schema="pid long, digest binary")
 
     if tree_combine:
         n_parts = col_df.rdd.getNumPartitions()
         fan_in = max(int(n_parts ** 0.5), 1)
 
         def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            d = TDigest(compression)
-            got = False
+            rows: list[tuple[int, bytes]] = []
             for pdf in batches:
-                for b in pdf["digest"]:
-                    d.merge(TDigest.from_bytes(bytes(b)))
-                    got = True
-            if got:
-                yield pd.DataFrame({"digest": [d.to_bytes()]})
+                rows += [(int(p), bytes(b)) for p, b in zip(pdf["pid"], pdf["digest"])]
+            if not rows:
+                return
+            rows.sort(key=lambda r: r[0])
+            d = TDigest(compression)
+            for _, b in rows:
+                d.merge(TDigest.from_bytes(b))
+            yield pd.DataFrame({"pid": [rows[0][0]], "digest": [d.to_bytes()]})
 
-        partials = partials.repartition(fan_in).mapInPandas(
-            combine, schema="digest binary"
+        partials = partials.repartition(fan_in, F.pmod(F.col("pid"), F.lit(fan_in))).mapInPandas(
+            combine, schema="pid long, digest binary"
         )
 
+    merged = sorted(partials.collect(), key=lambda r: r["pid"])
     out = TDigest(compression)
-    for r in partials.collect():
+    for r in merged:
         out.merge(TDigest.from_bytes(bytes(r["digest"])))
     return out
 
@@ -199,17 +212,28 @@ def build_digests(df: DataFrame, columns: list[str], compression: int = 200) -> 
     sel = df.select(*[F.col(c).cast("double").alias(c) for c in columns])
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
         ds = {c: TDigest(compression) for c in columns}
         for pdf in batches:
             for c in columns:
                 ds[c].add(pdf[c].to_numpy())
         yield pd.DataFrame(
-            {"column_name": columns, "digest": [ds[c].to_bytes() for c in columns]}
+            {
+                "pid": [pid] * len(columns),
+                "column_name": columns,
+                "digest": [ds[c].to_bytes() for c in columns],
+            }
         )
 
-    parts = sel.mapInPandas(per_partition, schema="column_name string, digest binary").collect()
+    parts = sel.mapInPandas(
+        per_partition, schema="pid long, column_name string, digest binary"
+    ).collect()
     out = {c: TDigest(compression) for c in columns}
-    for r in parts:
+    # pid-ordered merge: digest merging is order-sensitive at the float level,
+    # and collect() row order is not guaranteed across reruns
+    for r in sorted(parts, key=lambda r: r["pid"]):
         out[r["column_name"]].merge(TDigest.from_bytes(r["digest"]))
     return out
 

@@ -68,7 +68,12 @@ def stream_validate(
             F.explode(F.array(*structs)).alias("v"),
         ).select("batch_id", checks_mod.BUCKET, "v.constraint",
                  "v.violation_count", "rows_scanned")
-        long.write.mode("append").parquet(out_path)
+        # idempotent sink: a retried micro-batch overwrites ITS OWN batch_id
+        # partition instead of appending a second copy (dynamic partition
+        # overwrite touches only partitions present in this write)
+        long.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_path)
 
     return (
         stream_df.writeStream.foreachBatch(process_batch)
@@ -79,8 +84,14 @@ def stream_validate(
 
 
 def cumulative_verdicts(spark, out_path: str) -> DataFrame:
-    """Merge streamed per-batch verdict rows into global verdicts."""
-    df = spark.read.parquet(out_path)
+    """Merge streamed per-batch verdict rows into global verdicts.
+
+    (batch_id, bucket_id, constraint) is unique per successful batch write, so
+    the dropDuplicates is a no-op on clean runs and absorbs duplicate rows if
+    a sink without partition-overwrite semantics ever double-appends."""
+    df = spark.read.parquet(out_path).dropDuplicates(
+        ["batch_id", checks_mod.BUCKET, "constraint"]
+    )
     return (
         df.groupBy("constraint")
         .agg(

@@ -41,7 +41,18 @@ RULES = {
     "transcript_null": (500, 3),
     "codec_null": (500, 11),
     "dangling_fk": (1000, 37),           # clip_id missing from transcripts
+    "container_header_corrupt": (3000, 41),  # flac/opus/mp3 with broken header
 }
+
+#: codec cycle for container_header_corrupt plants: the k-th planted id
+#: (k = (i - off) // mod) gets cycle[k % 3] — varies the codec across plants
+#: even though the rule's modulus is a multiple of 3
+HEADER_CORRUPT_CYCLE = ("flac", "opus", "mp3")
+
+
+def header_corrupt_codec(i: int) -> str:
+    mod, off = RULES["container_header_corrupt"]
+    return HEADER_CORRUPT_CYCLE[((i - off) // mod) % 3]
 
 SR_DOMAIN = np.array([8000, 16000, 22050, 44100])
 SR_WEIGHTS = np.array([0.80, 0.10, 0.07, 0.03])
@@ -84,6 +95,88 @@ def wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
         b"data", len(data),
     )
     return hdr + data
+
+
+def flac_bytes(sr: int, n_samples: int, body: bytes) -> bytes:
+    """Minimal valid FLAC container: 'fLaC' magic + a last-block STREAMINFO
+    metadata block (34 bytes, real sample rate + total-sample count) followed
+    by an opaque pseudo-compressed body. Enough structure for the decode
+    seam's header validation (engine/audio.py) to verify integrity."""
+    # STREAMINFO: min/max blocksize, min/max framesize, then the packed
+    # 20-bit sr | 3-bit channels-1 | 5-bit bps-1 | 36-bit total samples
+    packed = (sr << 44) | (0 << 41) | (15 << 36) | (n_samples & ((1 << 36) - 1))
+    si = (
+        struct.pack(">HH", 4096, 4096)
+        + b"\x00\x00\x00" + b"\x00\x00\x00"          # framesize unknown
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                                # md5 of raw samples: unset
+    )
+    assert len(si) == 34
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si + body
+
+
+def _ogg_crc_table() -> list[int]:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 else (r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+OGG_CRC_TABLE = _ogg_crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection, no final xor."""
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def ogg_opus_bytes(sr: int, body: bytes) -> bytes:
+    """Minimal valid Ogg/Opus container: one BOS page carrying the OpusHead
+    packet (with a correct page CRC), then an opaque body. Only the first
+    page is CRC-validated by the decode seam — cheap at any payload size."""
+    opus_head = (
+        b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+        + struct.pack("<I", sr) + struct.pack("<h", 0) + bytes([0])
+    )
+    header = (
+        b"OggS" + bytes([0, 0x02])                    # version 0, BOS
+        + struct.pack("<q", 0)                        # granule position
+        + struct.pack("<I", 0x5EED)                   # serial
+        + struct.pack("<I", 0)                        # page sequence
+        + b"\x00\x00\x00\x00"                         # crc placeholder
+        + bytes([1, len(opus_head)])                  # one segment
+    )
+    page = bytearray(header + opus_head)
+    crc = ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page) + body
+
+
+def mp3_bytes(body: bytes) -> bytes:
+    """Minimal valid MP3: an MPEG-1 Layer III frame header (sync + sane
+    bitrate/samplerate indices) followed by an opaque frame body."""
+    # 0xFF 0xFB: 11-bit sync, MPEG-1, Layer III, no CRC;
+    # 0x90: bitrate index 9 (128kbps), sr index 0 (44100), no padding
+    return bytes([0xFF, 0xFB, 0x90, 0x00]) + body
+
+
+def container_bytes(codec: str, i: int, sr: int, n_samples: int) -> bytes:
+    """Pseudo-compressed payload for a non-PCM codec: valid container header
+    + deterministic opaque body (~half the PCM16 byte size, like a real
+    compressed clip)."""
+    rng = np.random.default_rng(np.random.SeedSequence([SEED, int(i), 4]))
+    body = rng.bytes(max(n_samples, 64))
+    if codec == "flac":
+        return flac_bytes(sr, n_samples, body)
+    if codec == "opus":
+        return ogg_opus_bytes(sr, body)
+    return mp3_bytes(body)
 
 
 def clean_pcm(i: int, sr: int, dur_ms: int, max_samples: int = 200_000) -> np.ndarray:
@@ -140,24 +233,40 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
         if _hit(np.array([i]), "codec_out_of_domain")[0]:
             codec = "wma"
 
-        sig = clean_pcm(i, sr, max(dur, 200))
-        pcm = _noisy_pcm16(i, sig)
-        if _hit(np.array([i]), "payload_corrupt")[0]:
-            # corrupt payloads are planted on a decodable codec — otherwise the
-            # sandbox's stubbed flac/opus/mp3 decoders (engine/audio.py) would
-            # make ~30% of the plants undetectable by design
+        corrupt_payload = _hit(np.array([i]), "payload_corrupt")[0]
+        corrupt_header = _hit(np.array([i]), "container_header_corrupt")[0]
+        if corrupt_payload:
+            # PCM-content corruption is planted on the decodable codec — the
+            # sandbox's flac/opus/mp3 decoders are header-validate-only, so a
+            # content corruption there would be undetectable by design
             codec = "pcm_s16le"
-            if i % 2 == 0:
-                pcm = pcm[: max(len(pcm) // 2, 1)]       # truncation
-            else:
-                pcm = (pcm.astype(np.int32) * 13 % 65536 - 32768).astype(np.int16)  # garbage
-        b = wav_bytes(pcm, sr)
+        if corrupt_header:
+            # container-header corruption IS detectable on the stubbed
+            # codecs (magic / CRC / frame-sync validation at the decode seam)
+            codec = header_corrupt_codec(i)
+        # codec_null BEFORE payload build: a null-codec clip decodes via the
+        # WAV path, so its payload must be WAV regardless of the rng draw
+        if _hit(np.array([i]), "codec_null")[0]:
+            codec = None
+
+        if codec in ("flac", "opus", "mp3"):
+            n_samp = min(int(sr * max(dur, 200) / 1000), 200_000)
+            b = container_bytes(codec, i, sr, n_samp)
+            if corrupt_header:
+                b = b"XXXX" + b[4:]  # break magic / frame sync
+        else:
+            sig = clean_pcm(i, sr, max(dur, 200))
+            pcm = _noisy_pcm16(i, sig)
+            if corrupt_payload:
+                if i % 2 == 0:
+                    pcm = pcm[: max(len(pcm) // 2, 1)]       # truncation
+                else:
+                    pcm = (pcm.astype(np.int32) * 13 % 65536 - 32768).astype(np.int16)  # garbage
+            b = wav_bytes(pcm, sr)
 
         transcript: str | None = _transcript(i)
         if _hit(np.array([i]), "transcript_null")[0]:
             transcript = None
-        if _hit(np.array([i]), "codec_null")[0]:
-            codec = None
 
         out["clip_id"].append(f"clip_{i:010d}")
         out["bytes"].append(b)

@@ -7,7 +7,7 @@ an external SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # function-word list used by the lang-id + quality heuristics (the fixture
@@ -66,20 +66,30 @@ def winnow_fingerprints(
     """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
     hash all k-char grams, keep the minimum hash of every w-gram window.
 
-    Expression-only: char k-grams via sequence+substring, md5 hashes, window
-    min via a per-doc ordered window frame. Output: (id, pos, fingerprint) —
-    the distinct window-min hashes with their positions."""
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-                f"i -> substring({text_col}, i, {k}))"
-            )
-        ).alias("pos", "gram"),
-    ).select(id_col, "pos", F.md5("gram").alias("gh"))
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    fp = grams.select(F.col(id_col), F.col("pos"), F.min("gh").over(win).alias("fingerprint"))
-    return fp.groupBy(id_col, "fingerprint").agg(F.min("pos").alias("pos")).select(
-        id_col, "pos", "fingerprint"
+    Expression-only AND shuffle-free until the final fingerprint distinct:
+    the k-gram hashes stay an ARRAY column, and the per-window minima are
+    computed with ``transform + slice + array_min`` on that array — nothing
+    explodes (and nothing shuffles) at gram granularity. The round-1 design
+    posexploded one row per character position and ran ``min() OVER`` on the
+    gram stream, forcing an Exchange of ~n_chars rows per doc — a
+    scale-killer at 100 TB of text. Here the only shuffle is the final
+    groupBy, whose map-side partial agg already collapses to distinct
+    (doc, fingerprint) pairs. Output: (id, pos, fingerprint) — the distinct
+    window-min hashes with their first (0-based) positions."""
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> md5(substring({text_col}, i, {k})))"
+    )
+    # slice() clips at the array end, matching the window frame's shrink at
+    # the tail (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)
+    wins = F.expr(
+        f"transform(sequence(1, size(__hs)), "
+        f"i -> struct(i - 1 AS pos, array_min(slice(__hs, i, {w})) AS fingerprint))"
+    )
+    return (
+        df.select(F.col(id_col), hashes.alias("__hs"))
+        .select(F.col(id_col), F.explode(wins).alias("s"))
+        .groupBy(id_col, F.col("s.fingerprint").alias("fingerprint"))
+        .agg(F.min("s.pos").alias("pos"))
+        .select(id_col, "pos", "fingerprint")
     )

@@ -60,6 +60,92 @@ def test_crash_resume_equals_fresh(spark, tables, tmp_path):
     assert sum(r["rows_scanned"] for r in lin) == total
 
 
+def test_snapshot_table_time_travel(spark, tmp_path):
+    """Iceberg-shaped checkpoint semantics: every append is a snapshot with a
+    manifest; time travel reconstructs the table as of any snapshot."""
+    from engine.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snaptbl"))
+    assert t.read() is None and t.snapshots() == []
+    s1 = t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    s2 = t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    snaps = t.snapshots()
+    assert [m["snapshot_id"] for m in snaps] == [s1, s2]
+    assert snaps[0]["parent_snapshot_id"] is None
+    assert snaps[1]["parent_snapshot_id"] == s1
+    assert snaps[1]["added_rows"] == 1
+    assert {r["k"] for r in t.time_travel(s1).collect()} == {1}
+    assert {r["k"] for r in t.time_travel(s2).collect()} == {1, 2}
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+
+
+def test_checkpoint_snapshot_lineage(spark, tables, tmp_path):
+    """Each completed shard commits one checkpoint snapshot; time-traveling
+    to snapshot k yields the verdicts the run knew after k shards."""
+    clips, transcripts = tables
+    suite = audio_clip_suite()
+    runner = CheckpointedRunner(spark, str(tmp_path / "ckpt_snap"))
+    runner.run(clips, suite, ["clip_id"], refs={"transcripts": transcripts},
+               run_id="tt", n_shards=4)
+    snaps = runner.table.snapshots()
+    assert len(snaps) == 4
+    assert [m["properties"]["shard_id"] for m in snaps] == [0, 1, 2, 3]
+    # after 2 of 4 shards, rows_scanned covers exactly those shards' rows
+    partial = runner.verdicts_at("tt", snaps[1]["snapshot_id"], suite=suite)
+    full = runner.verdicts("tt", suite=suite)
+    p = {r["constraint"]: r["rows_scanned"] for r in partial.collect()}
+    f = {r["constraint"]: r["rows_scanned"] for r in full.collect()}
+    assert set(p) == set(f)
+    assert all(0 < p[c] < f[c] for c in p)
+
+
+def test_bucketed_shard_storage_prunes(spark, tables, tmp_path):
+    """With shard_storage_path the fact table is materialized partitioned by
+    __shard; each shard scan partition-prunes to its own files instead of
+    re-reading the table, and verdicts are unchanged."""
+    clips, transcripts = tables
+    suite = audio_clip_suite()
+    refs = {"transcripts": transcripts}
+    store = str(tmp_path / "fact_by_shard")
+
+    runner = CheckpointedRunner(spark, str(tmp_path / "ckpt_bucketed"))
+    bucketed = runner.run(clips, suite, ["clip_id"], refs=refs, run_id="b1",
+                          n_shards=N_SHARDS, shard_storage_path=store)
+    plain = CheckpointedRunner(spark, str(tmp_path / "ckpt_plain")).run(
+        clips, suite, ["clip_id"], refs=refs, run_id="p1", n_shards=N_SHARDS
+    )
+    assert _verdict_map(bucketed) == _verdict_map(plain)
+
+    # the per-shard scan is a real partition prune: filtering one shard value
+    # reads ~1/n_shards of the files
+    stored = spark.read.parquet(store)
+    one = stored.filter("__shard = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__shard" in plan.split("PartitionFilters")[1][:200]
+    import glob
+
+    all_files = glob.glob(f"{store}/__shard=*/**/*.parquet", recursive=True)
+    shard_files = glob.glob(f"{store}/__shard=3/**/*.parquet", recursive=True)
+    assert 0 < len(shard_files) < len(all_files)
+
+
+def test_resumed_verdicts_honor_null_rate(spark, tables, tmp_path):
+    """A suite with max_null_rate > 0: resumed/merged verdicts apply the same
+    tolerance as an uninterrupted checks.run_suite run."""
+    from engine import checks
+    from engine.suite import ConstraintSuite, NotNull
+
+    clips, transcripts = tables
+    # transcript nulls are planted at ~1/500: a 1% tolerance must PASS
+    suite = ConstraintSuite()
+    suite.add(NotNull("transcript_tolerant", column="transcript", max_null_rate=0.01))
+    runner = CheckpointedRunner(spark, str(tmp_path / "ckpt_rate"))
+    merged = runner.run(clips, suite, ["clip_id"], run_id="rate1", n_shards=4)
+    direct = checks.run_suite(clips, suite, ["clip_id"], n_buckets=4, stat_columns=[])
+    assert _verdict_map(merged) == _verdict_map(direct.verdicts)
+    assert _verdict_map(merged)["transcript_tolerant"][2] is True  # passed
+
+
 def test_shard_counts_match_direct_run(spark, tables, tmp_path):
     """Shard-summed verdicts == single-pass run_suite verdicts."""
     from engine import checks

@@ -220,3 +220,36 @@ def test_simhash_near_dup_pairs(spark):
     }
     assert (0, 1) in pairs
     assert all(a in (0, 1, 4) and b in (0, 1, 4) for a, b in pairs)
+
+
+def test_simhash_band_spans_cover_all_bits():
+    """Pigeonhole completeness: bands must partition all 64 bits, including
+    when the auto-bumped n_bands (max_hamming + 1) does not divide 64."""
+    from engine.dedup import band_spans
+
+    for n_bands in (4, 7, 8, 9, 13):
+        spans = band_spans(64, n_bands)
+        assert len(spans) == n_bands
+        covered = []
+        for start, width in spans:
+            assert width >= 1
+            covered += list(range(start, start + width))
+        assert covered == list(range(64))
+
+
+def test_simhash_pigeonhole_autobump(spark):
+    """max_hamming >= n_bands would silently miss pairs; the function must
+    bump n_bands so near-dup pairs within max_hamming are still found."""
+    from engine.dedup import hamming, simhash64, simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today and more words here"
+    near = base.replace("today", "tomorrow")
+    df = spark.createDataFrame([(0, base), (1, near)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df, "text", "doc_id").collect()}
+    true_dist = sum(1 for a, b in zip(sigs[0], sigs[1]) if a != b)
+    # ask with n_bands intentionally too small for the distance
+    pairs = simhash_near_dup_pairs(
+        df, "text", "doc_id", max_hamming=max(true_dist, 4), n_bands=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    assert pairs[0]["hamming_dist"] == true_dist

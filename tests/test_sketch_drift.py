@@ -126,3 +126,32 @@ def test_tree_combine_equals_flat(spark):
     assert tree.total_weight == flat.total_weight
     for q in (0.05, 0.5, 0.95, 0.99):
         assert abs(tree.quantile(q) - flat.quantile(q)) < 0.5
+
+
+def test_tree_combine_deterministic_across_reruns(spark):
+    """Digest merging is order-sensitive at the float level; the keyed,
+    pid-ordered combine must make tree-combined digests BIT-identical across
+    reruns of the same input (the engine-wide determinism rule)."""
+    df = spark.range(0, 30_000, 1, 16).select((F.rand(seed=11) * 50).alias("v"))
+    a = build_digest(df, "v", tree_combine=True)
+    b = build_digest(df, "v", tree_combine=True)
+    assert a.to_bytes() == b.to_bytes()
+    c = build_digest(df, "v")
+    d = build_digest(df, "v")
+    assert c.to_bytes() == d.to_bytes()
+
+
+def test_sketch_quantile_threshold_vs_exact_sf001(spark, sf01_dir):
+    """|q_sketch - q_exact| bound on the driver's events table: the
+    scale-mode threshold (scoring.fit_quantile_threshold method='tdigest')
+    stays within 0.5% rank error of the exact percentile."""
+    from engine.scoring import fit_quantile_threshold
+
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    for q in (0.5, 0.9, 0.99):
+        exact = fit_quantile_threshold(ev, "value", q=q, method="exact")
+        sketch = fit_quantile_threshold(ev, "value", q=q, method="tdigest")
+        n = ev.count()
+        rank_exact = ev.filter(F.col("value") <= exact).count() / n
+        rank_sketch = ev.filter(F.col("value") <= sketch).count() / n
+        assert abs(rank_sketch - rank_exact) < 0.005, (q, sketch, exact)

@@ -56,6 +56,47 @@ def test_stream_validate_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_cumulative_verdicts_idempotent_under_replay(spark, tmp_path):
+    """A retried micro-batch must not double-count: re-writing the same
+    batch_id's rows (partition overwrite) and summing with the dedup guard
+    leaves cumulative verdicts unchanged."""
+    rows = [
+        (0, b, "c1", 5, 100) for b in range(8)
+    ] + [(1, b, "c1", 3, 100) for b in range(8)]
+    df = spark.createDataFrame(
+        rows,
+        "batch_id long, bucket_id int, constraint string, "
+        "violation_count long, rows_scanned long",
+    )
+    out = str(tmp_path / "sink")
+    df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch_id"
+    ).parquet(out)
+    before = {
+        r["constraint"]: (r["violation_count"], r["rows_scanned"])
+        for r in streaming.cumulative_verdicts(spark, out).collect()
+    }
+    # replay batch 1 (simulated retry): dynamic overwrite of its partition
+    df.filter("batch_id = 1").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(out)
+    after = {
+        r["constraint"]: (r["violation_count"], r["rows_scanned"])
+        for r in streaming.cumulative_verdicts(spark, out).collect()
+    }
+    assert after == before
+    # and duplicate rows inside a partition (a sink without overwrite
+    # semantics) are absorbed by the reader's dedup guard
+    df.filter("batch_id = 1").drop("batch_id").write.mode("append").parquet(
+        f"{out}/batch_id=1"
+    )
+    again = {
+        r["constraint"]: (r["violation_count"], r["rows_scanned"])
+        for r in streaming.cumulative_verdicts(spark, out).collect()
+    }
+    assert again == before
+
+
 def test_windowed_drift_schema(spark):
     # static-frame check of the streaming aggregation expression shape
     df = spark.createDataFrame(

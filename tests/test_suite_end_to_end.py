@@ -103,7 +103,46 @@ def test_ref_integrity_exact(result):
 def test_audio_invariants_exact(result):
     manifest = synth.plant_manifest(N)
     got = set(r["clip_id"] for r in result.violations["pcm_snr_invariant"].collect())
-    assert got == set(manifest["payload_corrupt"])
+    # PCM-content corruption (decodable codec) + container-header corruption
+    # (stubbed codecs, caught by magic/CRC/frame-sync validation)
+    expected = set(manifest["payload_corrupt"]) | set(manifest["container_header_corrupt"])
+    assert got == expected
+
+
+def test_container_header_validation_by_codec(result):
+    """Each corrupted container codec is detected with its own error."""
+    manifest = synth.plant_manifest(N)
+    errs = {
+        r["clip_id"]: r["offending_value"]
+        for r in result.violations["pcm_snr_invariant"].collect()
+    }
+    for cid in manifest["container_header_corrupt"]:
+        i = int(cid.split("_")[1])
+        codec = synth.header_corrupt_codec(i)
+        expected_err = {"flac": "bad_flac_header", "opus": "bad_ogg_page",
+                        "mp3": "bad_mp3_frame"}[codec]
+        assert errs[cid] == expected_err, (cid, codec, errs[cid])
+
+
+def test_valid_containers_pass_header_checks(fixture_tables):
+    """Un-corrupted flac/opus/mp3 clips carry VALID containers: header
+    validation must not flag them (magic, STREAMINFO, page CRC, frame sync
+    all check out)."""
+    from engine import audio as audio_mod
+
+    clips, _ = fixture_tables
+    sample = (
+        clips.filter("codec in ('flac','opus','mp3')")
+        .select("clip_id", "bytes", "codec").limit(60).collect()
+    )
+    assert len(sample) > 0
+    manifest = synth.plant_manifest(N)
+    bad = set(manifest["container_header_corrupt"])
+    import pytest as _pytest
+
+    for r in (x for x in sample if x["clip_id"] not in bad):
+        with _pytest.raises(NotImplementedError):
+            audio_mod.decode(bytes(r["bytes"]), r["codec"])
 
 
 def test_transcript_equality_exact(result):
@@ -114,6 +153,20 @@ def test_transcript_equality_exact(result):
         if _is(i, "transcript_mismatch") or _is(i, "transcript_null") or _is(i, "dangling_fk"):
             expected.add(f"clip_{i:010d}")
     assert got == expected
+
+
+def test_audio_rows_scanned_no_fanout(result, fixture_tables):
+    """Duplicated clips must not inflate the audio checks: the pcm x
+    transcript join is pre-aggregated per clip_id, so every audio check's
+    rows_scanned equals the fused scan's (N + dups, not N + k^2 dups)."""
+    clips, _ = fixture_tables
+    total = clips.count()
+    rows = {
+        r["constraint"]: r["rows_scanned"]
+        for r in result.verdicts.collect()
+    }
+    for name in ("pcm_snr_invariant", "transcript_equality", "bytes_not_null"):
+        assert rows[name] == total, (name, rows[name], total)
 
 
 def test_partition_verdicts_sum_to_global(result):
