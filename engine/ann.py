@@ -90,15 +90,59 @@ def ivf_topk(
     return brute_force_topk(cand, vec_col, id_col, query, k)
 
 
-def hyperplane_lsh_buckets(
-    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64
-) -> DataFrame:
-    """Random-hyperplane LSH: sign pattern of <v, h_i> → bucket string.
-    Deterministic seeded planes; expression-only dot products."""
+def _bucket_bits(vec_col: str, n_planes: int, seed: int, dim: int):
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     bits = [
         F.when(_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
         for p in planes
     ]
-    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return F.concat(*bits)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of <v, h_i> → bucket string.
+    Deterministic seeded planes; expression-only dot products."""
+    return df.select(
+        F.col(id_col), _bucket_bits(vec_col, n_planes, seed, dim).alias("bucket")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
+    share a hyperplane-LSH bucket (equi-join, never all-pairs), then exact
+    cosine verifies. Fewer planes → wider buckets → higher recall at more
+    verify cost; hot buckets are bounded like MinHash-LSH. A vector lives in
+    exactly one bucket, so no pair dedup pass is needed.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold."""
+    withb = df.select(
+        F.col(id_col), F.col(vec_col), _bucket_bits(vec_col, n_planes, seed, dim).alias("bucket")
+    )
+    sizes = withb.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz")).filter(
+        (F.col("sz") > 1) & (F.col("sz") <= max_bucket_size)
+    )
+    guarded = withb.join(F.broadcast(sizes.select("bucket")), "bucket")
+    a = guarded.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = guarded.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

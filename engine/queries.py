@@ -920,6 +920,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _bucket_bits_sql(n_planes: int, seed: int, dim: int, col: str = "embedding") -> str:
+    """Seeded-hyperplane bucket bits as SQL: plane values inlined as double
+    literals; the sum chain is left-associated exactly like Spark's
+    F.aggregate fold, so the sign bits (and therefore the buckets) are
+    IEEE-bit-identical across engines."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def dot(p) -> str:
+        return " + ".join(f"({col}[{i + 1}] * {x!r})" for i, x in enumerate(p))
+
+    return " || ".join(
+        f"(CASE WHEN ({dot(p)}) >= 0 THEN '1' ELSE '0' END)" for p in planes
+    )
+
+
+def _hyperplane_oracle_sql(n_planes: int = 12, seed: int = 42, dim: int = 64) -> str:
+    bits = _bucket_bits_sql(n_planes, seed, dim)
+    return (
+        f"SELECT bucket, count(*) AS n FROM "
+        f"(SELECT {bits} AS bucket FROM embeddings) GROUP BY bucket"
+    )
+
+
+def _cosine_near_dup_oracle_sql(
+    threshold: float = 0.2, n_planes: int = 8, seed: int = 42
+) -> str:
+    bits = _bucket_bits_sql(n_planes, seed, 64, col="embedding")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+             {bits} AS bucket
+      FROM embeddings),
+    buckets AS (
+      SELECT bucket FROM e GROUP BY bucket
+      HAVING count(*) > 1 AND count(*) <= 1000),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_COS_SQL.format(a='a.ev', b='b.ev')}, 6) AS cos_sim
+      FROM e a JOIN buckets USING (bucket)
+               JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= {threshold!r}
+    """
+
+
+@register("embedding_near_dup_pairs", _cosine_near_dup_oracle_sql())
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: hyperplane-LSH bucket candidates (equi-join,
+    never all-pairs) + exact-cosine verification — the embedding-space member
+    of the dedup family (exact / MinHash / SimHash / Jaccard / cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.cosine_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.2, n_planes=8, seed=42, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (non-SQL-expressible: recursive EWMA, Arrow-UDF audio,
 # seeded hyperplanes, synthetic-fixture suites)
@@ -953,26 +1010,6 @@ def ewma_residual_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ewma_residual(ev, "value", ["ts", "event_id"], "user_id", alpha=0.1)
     return r.filter(F.col("residual").isNotNull()).select(
         "event_id", F.round("ewma", 4).alias("ewma"), F.round("residual", 4).alias("residual")
-    )
-
-
-def _hyperplane_oracle_sql(n_planes: int = 12, seed: int = 42, dim: int = 64) -> str:
-    """Inline the seeded hyperplanes as double literals; the sum chain is
-    left-associated exactly like Spark's F.aggregate fold, so the sign bits
-    (and therefore the buckets) are IEEE-bit-identical across engines."""
-    import numpy as np
-
-    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
-
-    def dot(p) -> str:
-        return " + ".join(f"(embedding[{i + 1}] * {x!r})" for i, x in enumerate(p))
-
-    bits = " || ".join(
-        f"(CASE WHEN ({dot(p)}) >= 0 THEN '1' ELSE '0' END)" for p in planes
-    )
-    return (
-        f"SELECT bucket, count(*) AS n FROM "
-        f"(SELECT {bits} AS bucket FROM embeddings) GROUP BY bucket"
     )
 
 

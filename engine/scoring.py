@@ -95,6 +95,12 @@ def ewma_residual(
     ``ewm(alpha, adjust=True)`` per group, vectorized C inside the batch.
 
     residual_t = x_t - EWMA(x_{..t-1});  first point has no forecast (null).
+
+    Scale note: parallelism = n_series, and one giant series = one straggler
+    task; the per-task memory bound is the largest single series. For
+    pathological series (or true streams), the chunk-and-carry-state variant
+    is ``engine/streaming.py:stateful_ewma_stream`` — same recursion as two
+    carried scalars per series, O(chunk) memory, vectorized closed form.
     """
     cols = df.columns
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", ewma double, residual double"

@@ -102,6 +102,81 @@ def cumulative_verdicts(spark, out_path: str) -> DataFrame:
     )
 
 
+def stateful_ewma_stream(
+    stream_df: DataFrame,
+    value_col: str,
+    order_col: str,
+    series_col: str,
+    alpha: float = 0.1,
+):
+    """Custom stateful streaming operator: per-series EWMA forecast +
+    residual with state CARRIED ACROSS micro-batches via
+    ``applyInPandasWithState`` — the true-streaming analog of the reference's
+    carried-state-across-batches semantics (infinite_dataset.py:70-76) and of
+    the batch ``scoring.ewma_residual``.
+
+    State per series is two scalars (the adjust=True recursion
+    ``num_t = (1-a) num_{t-1} + x_t``, ``den_t = (1-a) den_{t-1} + 1``;
+    forecast_t = num_{t-1}/den_{t-1}), so state size is O(n_series) — bounded
+    at any stream length. The in-batch scan is VECTORIZED via the recursion's
+    closed form (no per-row Python): num_t = r^t num_0 + r^t Σ x_j r^{-j},
+    evaluated in overflow-safe chunks (r^{-j} grows as e^{j|ln r|}).
+    Rows inside a batch are processed in ``order_col`` order; batches must
+    arrive in order per series (true for replayed/landing files;
+    out-of-order streams need watermarked reordering upstream). 0 < alpha < 1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    r = 1.0 - alpha
+    # keep r^{-chunk} below e^300 (double max ~e^709, with headroom)
+    chunk = max(1, min(4096, int(300.0 / max(-np.log(r), 1e-12))))
+
+    def scan(x: np.ndarray, num: float, den: float):
+        """Forecasts (state BEFORE each x) + final (num, den), vectorized."""
+        fc = np.empty(len(x))
+        for i in range(0, len(x), chunk):
+            c = x[i : i + chunk]
+            m = len(c)
+            p = r ** np.arange(1, m + 1)             # r^t, t = 1..m
+            rinv_j = r ** -np.arange(1, m + 1)       # r^{-j}, j = 1..m
+            num_t = p * (num + np.cumsum(c * rinv_j))
+            den_t = p * den + (1.0 - p) / alpha
+            prev_num = np.concatenate(([num], num_t[:-1]))
+            prev_den = np.concatenate(([den], den_t[:-1]))
+            fc[i : i + m] = np.where(prev_den > 0, prev_num / np.where(prev_den > 0, prev_den, 1.0), np.nan)
+            num, den = float(num_t[-1]), float(den_t[-1])
+        return fc, num, den
+
+    out_schema = (
+        f"{series_col} string, {order_col} long, {value_col} double, "
+        "ewma double, residual double"
+    )
+    state_schema = "num double, den double"
+
+    def update(key, pdfs, state):
+        num, den = state.get if state.exists else (0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            fc, num, den = scan(x, num, den)
+            out = pd.DataFrame(
+                {
+                    series_col: pdf[series_col].to_numpy(),
+                    order_col: pdf[order_col].to_numpy(),
+                    value_col: x,
+                    "ewma": fc,
+                    "residual": x - fc,
+                }
+            )
+            yield out
+        state.update((num, den))
+
+    return stream_df.groupBy(series_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
 def windowed_value_drift(
     stream_df: DataFrame,
     ts_col: str,

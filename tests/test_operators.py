@@ -222,6 +222,31 @@ def test_simhash_near_dup_pairs(spark):
     assert all(a in (0, 1, 4) and b in (0, 1, 4) for a, b in pairs)
 
 
+def test_cosine_near_dup_pairs(spark):
+    """Embedding near-dup: an almost-identical vector pair lands in the same
+    LSH bucket and survives exact-cosine verification; unrelated vectors
+    don't pair."""
+    import numpy as np
+
+    from engine.ann import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.01
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])] + [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.9, n_planes=8
+        ).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] > 0.99
+
+
 def test_simhash_band_spans_cover_all_bits():
     """Pigeonhole completeness: bands must partition all 64 bits, including
     when the auto-bumped n_bands (max_hamming + 1) does not divide 64."""

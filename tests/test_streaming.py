@@ -97,6 +97,64 @@ def test_cumulative_verdicts_idempotent_under_replay(spark, tmp_path):
     assert again == before
 
 
+@pytest.mark.slow
+def test_stateful_ewma_stream_carries_state(spark, tmp_path):
+    """applyInPandasWithState: EWMA state carried across micro-batches ==
+    the batch operator run on the concatenated data (U4 carried-state
+    contract, streaming edition)."""
+    import numpy as np
+
+    from engine import synth
+    from engine.scoring import ewma_residual
+
+    series = synth.gen_series(spark, n_series=4, n_points=400).cache()
+    series.count()
+    src = str(tmp_path / "landing")
+    # two time-ordered chunks -> two separate micro-batches
+    first = series.filter("idx < 200")
+    second = series.filter("idx >= 200")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(series.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "ewma_out")
+    q = (
+        streaming.stateful_ewma_stream(stream, "value", "idx", "series_id", alpha=0.1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    second.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["series_id"], r["idx"]): (r["ewma"], r["residual"])
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        (r["series_id"], r["idx"]): (r["ewma"], r["residual"])
+        for r in ewma_residual(series, "value", ["idx"], "series_id", alpha=0.1).collect()
+    }
+    assert set(got) == set(exp)
+    # state carried across the batch boundary: idx>=200 rows must match the
+    # batch EWMA (which saw the full history), not a restarted one
+    for k in exp:
+        ge, gr = got[k]
+        ee, er = exp[k]
+        if ee is None:
+            assert ge is None or np.isnan(ge)
+        else:
+            assert abs(ge - ee) < 1e-9 * max(1.0, abs(ee)), (k, ge, ee)
+            assert abs(gr - er) < 1e-9 * max(1.0, abs(er)), (k, gr, er)
+
+
 def test_windowed_drift_schema(spark):
     # static-frame check of the streaming aggregation expression shape
     df = spark.createDataFrame(
