@@ -157,12 +157,21 @@ def _default_expected(clip_id: str, sr: int, dur_ms: int) -> np.ndarray:
     sig = synth.clean_pcm(i, sr, max(dur_ms, 200))
     return sig * (32000.0 * 0.9 / 32768.0)  # generator's exact int16 scale
 
+#: bytes of payload shipped to Python for codecs whose decoder is the
+#: header-validation stub: FLAC magic+STREAMINFO is 42 B, our Ogg BOS page
+#: < 128 B (OpusHead pages are < 1 KB in practice), MPEG frame header 4 B.
+#: A production build with real body decoders sets this to None for those
+#: codecs (full payload crosses the pipe again).
+HEADER_WINDOW_BYTES = 4096
+
+
 def audio_invariants(
     clips: DataFrame,
     transcripts: DataFrame,
     expected_fn: Callable[[str, int, int], np.ndarray] = _default_expected,
     snr_min_db: float = SNR_DB_MIN,
     broadcast_dim: bool = False,
+    header_window_bytes: int | None = HEADER_WINDOW_BYTES,
 ) -> DataFrame:
     """Per-clip invariant results: pcm_ok (decode + SNR>=min), transcript_ok,
     bytes_null (folded in here so the fused stats scan never has to
@@ -182,7 +191,20 @@ def audio_invariants(
     #   (2) transcript equality is a pruned-column join (clip_id, transcript),
     #   (3) the two SMALL result sets join on clip_id at the end.
     bucket = F.pmod(F.xxhash64("clip_id"), F.lit(32)).cast("int").alias("bucket_id")
-    pcm_in = clips.select("clip_id", bucket, "bytes", "sr_hz", "dur_ms", "codec")
+    # byte pruning at the column level: codecs on the header-validation stub
+    # only ever READ the header window, so only that window crosses the
+    # JVM->Python Arrow pipe (the pipe is the single-box scaling ceiling —
+    # BENCH.md). substring() on binary is JVM-side; nulls stay null, so the
+    # bytes_null check is unaffected.
+    payload = F.col("bytes")
+    if header_window_bytes is not None:
+        payload = F.when(
+            F.col("codec").isin(list(_HEADER_VALIDATORS)),
+            F.substring(F.col("bytes"), 1, header_window_bytes),
+        ).otherwise(F.col("bytes"))
+    pcm_in = clips.select(
+        "clip_id", bucket, payload.alias("bytes"), "sr_hz", "dur_ms", "codec"
+    )
 
     dim = transcripts.select("clip_id", "transcript_gold")
     if broadcast_dim:

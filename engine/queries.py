@@ -1020,7 +1020,54 @@ def hyperplane_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
-@register("series_interval_validation")
+def _series_sql(n_series: int = 8, n_points: int = 1000) -> str:
+    """The gen_series fixture reproduced in pure SQL: 2-harmonic sine +
+    md5-derived noise + planted level shift (engine/synth.py gen_series) —
+    hex digits decoded with plain int arithmetic like the simhash oracle."""
+    pows = [16 ** (8 - k) for k in range(1, 9)]
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('42|' || s || '|' || i), {k}, 1)) - 1) * {p}"
+        for k, p in zip(range(1, 9), pows)
+    )
+    return f"""
+      SELECT s, i, 's' || lpad(CAST(s AS VARCHAR), 3, '0') AS series_id,
+             (200 + (61 * s) % {n_points - 120}) AS lo,
+             sin(2 * pi() * 0.7 * (i / 50.0))
+               + 0.3 * sin(4 * pi() * 0.7 * (i / 50.0))
+               + ((({hexval}) / 4294967296.0) - 0.5) * 0.1
+               + CASE WHEN i BETWEEN (200 + (61 * s) % {n_points - 120})
+                               AND (200 + (61 * s) % {n_points - 120}) + 40
+                      THEN 5.0 ELSE 0.0 END AS value
+      FROM (SELECT a.s, b.i
+            FROM (SELECT unnest(range(0, {n_series})) AS s) a,
+                 (SELECT unnest(range(0, {n_points})) AS i) b)
+    """
+
+
+@register(
+    "series_interval_validation",
+    f"""
+    WITH pts AS ({_series_sql()}),
+    z AS (
+      SELECT series_id, i, lo,
+             (value - avg(value) OVER w) / stddev_samp(value) OVER w AS zval,
+             count(value) OVER w AS c, stddev_samp(value) OVER w AS sd
+      FROM pts
+      WINDOW w AS (PARTITION BY s ORDER BY i
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+    fl AS (SELECT series_id, i, lo FROM z
+           WHERE c >= 10 AND sd > 1e-12 AND abs(zval) > 3.0)
+    SELECT series_id,
+           CAST(lo AS BIGINT) AS anom_start,
+           CAST(lo + 40 AS BIGINT) AS anom_stop,
+           CAST(count(*) AS BIGINT) AS flagged,
+           CAST(sum(CASE WHEN i BETWEEN lo AND lo + 40 THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged_in_interval,
+           count(*) = sum(CASE WHEN i BETWEEN lo AND lo + 40 THEN 1 ELSE 0 END)
+             AS all_in_interval
+    FROM fl GROUP BY series_id, lo
+    """,
+)
 def series_interval_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import synth
     from engine.scoring import interval_validation, rolling_zscore
@@ -1124,14 +1171,50 @@ def audio_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("grid_evaluation_series")
+def _grid_oracle_sql() -> str:
+    wins = (50, 25, 100)
+    win_cols = ", ".join(
+        f"avg(value) OVER w{w} AS m{w}, stddev_samp(value) OVER w{w} AS s{w}, "
+        f"count(value) OVER w{w} AS c{w}"
+        for w in wins
+    )
+    win_defs = ", ".join(
+        f"w{w} AS (PARTITION BY s ORDER BY i ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)"
+        for w in wins
+    )
+    zcase = "CASE win " + " ".join(
+        f"WHEN {w} THEN (value - m{w}) / s{w}" for w in wins
+    ) + " END"
+    ccase = "CASE win " + " ".join(f"WHEN {w} THEN c{w}" for w in wins) + " END"
+    return f"""
+    WITH pts AS ({_series_sql()}),
+    zz AS (SELECT series_id, value, {win_cols} FROM pts WINDOW {win_defs}),
+    cfg AS (SELECT * FROM (VALUES
+              (0, 50, CAST(3.0 AS DOUBLE)), (1, 50, CAST(5.0 AS DOUBLE)),
+              (2, 25, CAST(3.0 AS DOUBLE)), (3, 100, CAST(3.0 AS DOUBLE)))
+            t(config_id, win, threshold)),
+    z AS (SELECT series_id, config_id, win, threshold,
+                 {zcase} AS zval, {ccase} AS c
+          FROM zz CROSS JOIN cfg)
+    SELECT series_id, config_id, win AS window, threshold,
+           CAST(sum(CASE WHEN c >= 5 AND abs(zval) > threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged,
+           round(max(CASE WHEN c >= 5 THEN abs(zval) END), 4) AS max_abs_z,
+           CAST(sum(CASE WHEN c >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS evaluated
+    FROM z GROUP BY series_id, config_id, win, threshold
+    """
+
+
+@register("grid_evaluation_series", _grid_oracle_sql())
 def grid_evaluation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1/X2: hyperparameter-grid fan-out over series (rnn_old.py:256-288)."""
+    """X1/X2: hyperparameter-grid fan-out over series (rnn_old.py:256-288).
+    Oracle: the same grid re-derived as SQL window specs over the
+    SQL-reproduced fixture (md5 noise — see _series_sql)."""
     from engine import synth
     from engine.scoring import grid_evaluate
 
     series = synth.gen_series(spark, n_series=8, n_points=1000)
-    return grid_evaluate(
+    out = grid_evaluate(
         series, "value", "idx", "series_id",
         configs=[
             {"window": 50, "threshold": 3.0},
@@ -1140,6 +1223,7 @@ def grid_evaluation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"window": 100, "threshold": 3.0},
         ],
     )
+    return out.withColumn("max_abs_z", F.round("max_abs_z", 4))
 
 
 _KDE_M = 32          # fit-grid size
@@ -1454,7 +1538,11 @@ def checkpoint_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def robust_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 scaler family: robust scaler (median/IQR), two-pass stats ->
-    broadcast scalars -> map (reference registry anomaly_detection.py:267-275)."""
+    broadcast scalars -> map (reference registry anomaly_detection.py:267-275).
+    Exact percentile here is the ORACLE-PARITY variant (buffers per-group
+    values — test scale only); the 10^12-row path derives med/IQR from one
+    t-digest pass (engine/sketch.py), whose rank error at q=0.25/0.5/0.75 is
+    oracle-checked by tdigest_quantile_accuracy and pytest-pinned."""
     ev = _t(spark, sf_dir, "events")
     q = ev.agg(
         F.percentile("value", F.lit(0.5)).alias("med"),

@@ -122,14 +122,64 @@ def validate(
 
 
 def main() -> None:  # pragma: no cover - CLI shim
-    import sys
+    """spark-submit entry.
+
+    Plain run:      -m engine.runner CLIPS.parquet TRANSCRIPTS.parquet
+    Resumable run:  ... --checkpoint DIR [--run-id ID] [--shards N]
+                        [--shard-storage DIR]   (re-running with the same
+                        run-id skips completed shards — Iceberg-shaped
+                        snapshot lineage in DIR/metadata/)
+    Drift:          ... --drift-fit BASELINE_DIR   (fit + save baseline)
+                    ... --drift-check BASELINE_DIR (KS/PSI vs saved baseline)
+    """
+    import argparse
 
     from engine.session import get_spark
 
-    clips_path, transcripts_path = sys.argv[1], sys.argv[2]
+    ap = argparse.ArgumentParser(prog="engine.runner")
+    ap.add_argument("clips")
+    ap.add_argument("transcripts")
+    ap.add_argument("--checkpoint", help="checkpoint-table dir (resumable shard run)")
+    ap.add_argument("--run-id", default="cli")
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--shard-storage", help="materialize fact partitioned by shard hash")
+    ap.add_argument("--drift-fit", help="fit + save a baseline snapshot to this dir")
+    ap.add_argument("--drift-check", help="KS/PSI drift check vs a saved baseline")
+    args = ap.parse_args()
+
     spark = SparkSession.getActiveSession() or get_spark("tsad-validate")
-    clips = spark.read.parquet(clips_path)
-    transcripts = spark.read.parquet(transcripts_path)
+    clips = spark.read.parquet(args.clips)
+    transcripts = spark.read.parquet(args.transcripts)
+
+    if args.drift_fit or args.drift_check:
+        from engine import drift as drift_mod
+
+        num_cols = ["sr_hz", "dur_ms"]
+        if args.drift_fit:
+            b = drift_mod.fit_baseline(clips, num_cols, ["codec"])
+            drift_mod.save_baseline(spark, b, args.drift_fit)
+            print(f"baseline saved: {args.drift_fit} (snapshot {b.snapshot_id})")
+        if args.drift_check:
+            b = drift_mod.load_baseline(spark, args.drift_check)
+            rep = drift_mod.drift_check(clips, b)
+            print(rep.to_string(index=False))
+        return
+
+    if args.checkpoint:
+        from engine.checkpoint import CheckpointedRunner
+        from engine.suite import audio_clip_suite
+
+        runner = CheckpointedRunner(spark, args.checkpoint)
+        suite = audio_clip_suite()
+        v = runner.run(
+            clips, suite, ["clip_id"], refs={"transcripts": transcripts},
+            run_id=args.run_id, n_shards=args.shards,
+            shard_storage_path=args.shard_storage,
+        )
+        v.orderBy("constraint").show(100, truncate=False)
+        runner.lineage(args.run_id).show(100, truncate=False)
+        return
+
     res = validate(clips, transcripts, check_audio=True)
     res.verdicts.orderBy("constraint").show(100, truncate=False)
 

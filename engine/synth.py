@@ -317,10 +317,23 @@ def gen_transcripts(spark: SparkSession, n: int, partitions: int = 8) -> DataFra
     return base.mapInPandas(gen, schema="clip_id string, transcript_gold string")
 
 
+def series_noise(s: int, i: int) -> float:
+    """Deterministic md5-derived uniform noise in [-0.05, 0.05): the first 8
+    hex digits of md5('SEED|s|i') as a uint32, scaled. Hash-based (not RNG)
+    so an external ANSI-SQL oracle reproduces the series bit-for-bit — the
+    same engine-wide portability rule as the dedup hashes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{SEED}|{s}|{i}".encode()).hexdigest()[:8], 16)
+    return (h / 4294967296.0 - 0.5) * 0.1
+
+
 def gen_series(spark: SparkSession, n_series: int = 8, n_points: int = 1000) -> DataFrame:
     """Time-series scoring fixture (FIXTURES.md §6): seeded noisy 2-harmonic
     sine per series with a level-shift anomaly in a known closed index range
-    (the hexagon-dataset labeled-interval analog, models/utils.py:34-39)."""
+    (the hexagon-dataset labeled-interval analog, models/utils.py:34-39).
+    value = sin(2π·0.7·t) + 0.3·sin(4π·0.7·t) + md5-noise (+5.0 inside the
+    planted interval), t = idx/50 — every term SQL-reproducible."""
     base = spark.range(0, n_series * n_points, 1, 8)
 
     def gen(batches):
@@ -330,10 +343,9 @@ def gen_series(spark: SparkSession, n_series: int = 8, n_points: int = 1000) -> 
             idx = gids % n_points
             rows = []
             for g, s, i in zip(gids, sid, idx):
-                rng = np.random.default_rng(np.random.SeedSequence([SEED, int(s), int(i), 3]))
                 t = i / 50.0
                 v = np.sin(2 * np.pi * 0.7 * t) + 0.3 * np.sin(4 * np.pi * 0.7 * t)
-                v += rng.uniform(-0.05, 0.05)
+                v += series_noise(int(s), int(i))
                 lo, hi = anomaly_range(int(s), n_points)
                 if lo <= i <= hi:
                     v += 5.0  # level shift (large vs wave amplitude ~1.3 so the
