@@ -150,7 +150,11 @@ class TDigest:
 # ---------------------------------------------------------------------------
 
 def build_digest(
-    df: DataFrame, column: str, compression: int = 200, tree_combine: bool = False
+    df: DataFrame,
+    column: str,
+    compression: int = 200,
+    tree_combine: bool = False,
+    max_driver_partials: int = 1024,
 ) -> TDigest:
     """One scan: per-partition t-digests built from Arrow batches
     (vectorized ``add``), merged associatively.
@@ -181,8 +185,6 @@ def build_digest(
     partials = col_df.mapInPandas(per_partition, schema="pid long, digest binary")
 
     if tree_combine:
-        n_parts = col_df.rdd.getNumPartitions()
-        fan_in = max(int(n_parts ** 0.5), 1)
 
         def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows: list[tuple[int, bytes]] = []
@@ -196,9 +198,16 @@ def build_digest(
                 d.merge(TDigest.from_bytes(b))
             yield pd.DataFrame({"pid": [rows[0][0]], "digest": [d.to_bytes()]})
 
-        partials = partials.repartition(fan_in, F.pmod(F.col("pid"), F.lit(fan_in))).mapInPandas(
-            combine, schema="pid long, digest binary"
-        )
+        # as many combine levels as needed (√n fan-in per level): 10^6
+        # partitions -> 10^3 -> driver; each level keyed + pid-ordered so the
+        # result stays bit-deterministic
+        n_parts = col_df.rdd.getNumPartitions()
+        while n_parts > max_driver_partials:
+            fan_in = max(int(n_parts ** 0.5), 1)
+            partials = partials.repartition(
+                fan_in, F.pmod(F.col("pid"), F.lit(fan_in))
+            ).mapInPandas(combine, schema="pid long, digest binary")
+            n_parts = fan_in
 
     merged = sorted(partials.collect(), key=lambda r: r["pid"])
     out = TDigest(compression)

@@ -122,7 +122,9 @@ def test_tree_combine_equals_flat(spark):
 
     df = spark.range(0, 40_000, 1, 16).select((F.rand(seed=3) * 50).alias("v"))
     flat = build_digest(df, "v")
-    tree = build_digest(df, "v", tree_combine=True)
+    # force real combine levels at test scale: 16 partials -> 4 -> 2 (two
+    # intermediate levels, the 10^6-partition shape in miniature)
+    tree = build_digest(df, "v", tree_combine=True, max_driver_partials=2)
     assert tree.total_weight == flat.total_weight
     for q in (0.05, 0.5, 0.95, 0.99):
         assert abs(tree.quantile(q) - flat.quantile(q)) < 0.5
@@ -133,8 +135,8 @@ def test_tree_combine_deterministic_across_reruns(spark):
     pid-ordered combine must make tree-combined digests BIT-identical across
     reruns of the same input (the engine-wide determinism rule)."""
     df = spark.range(0, 30_000, 1, 16).select((F.rand(seed=11) * 50).alias("v"))
-    a = build_digest(df, "v", tree_combine=True)
-    b = build_digest(df, "v", tree_combine=True)
+    a = build_digest(df, "v", tree_combine=True, max_driver_partials=2)
+    b = build_digest(df, "v", tree_combine=True, max_driver_partials=2)
     assert a.to_bytes() == b.to_bytes()
     c = build_digest(df, "v")
     d = build_digest(df, "v")
