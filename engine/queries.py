@@ -292,6 +292,39 @@ def range_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "row_invariant_purchase_value",
+    """
+    WITH rows_tot AS (SELECT count(*) AS n FROM events)
+    SELECT 'purchase_value_positive' AS constraint_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE event_type = 'purchase' AND value < 1.0) AS violation_count,
+           (SELECT n FROM rows_tot) AS rows_scanned,
+           (SELECT count(*) FROM events
+            WHERE event_type = 'purchase' AND value < 1.0) = 0 AS passed
+    """,
+)
+def row_invariant_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RowInvariant (U-row custom predicate) through the same fused-scan
+    compiler as the built-in constraints: an arbitrary cross-column business
+    rule ('purchase events carry a positive value') fuses into the one-scan
+    conditional aggregation like NotNull/Range/Domain do."""
+    from engine.suite import RowInvariant
+
+    ev = _t(spark, sf_dir, "events")
+    inv = RowInvariant(
+        "purchase_value_positive",
+        make_violation=lambda df: (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull() & (F.col("value") < 1.0),
+    )
+    s = ConstraintSuite().add(inv)
+    res = checks.run_suite(ev, s, key_cols=["event_id"], n_buckets=16, stat_columns=[])
+    return res.verdicts.select(
+        F.col("constraint").alias("constraint_name"),
+        "violation_count", "rows_scanned", "passed",
+    )
+
+
+@register(
     "quantile_threshold_events",
     """
     WITH t AS (SELECT quantile_cont(value, 0.99) AS thr FROM events)

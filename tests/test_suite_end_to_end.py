@@ -8,6 +8,7 @@ keys, no more, no less.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from engine import synth
 from engine.runner import validate
@@ -167,6 +168,42 @@ def test_audio_rows_scanned_no_fanout(result, fixture_tables):
     }
     for name in ("pcm_snr_invariant", "transcript_equality", "bytes_not_null"):
         assert rows[name] == total, (name, rows[name], total)
+
+
+def test_row_invariant_payload_size(spark, fixture_tables):
+    """RowInvariant cross-field check: a PCM clip's payload must be at least
+    header + 2 bytes/sample for its declared (sr_hz, dur_ms). The truncated
+    half of the planted payload corruptions violates it; exact keys match."""
+    from engine import checks
+    from engine.suite import ConstraintSuite, RowInvariant
+
+    clips, _ = fixture_tables
+    n_samp = F.least(
+        F.floor(
+            F.col("sr_hz").cast("long")
+            * F.greatest(F.col("dur_ms").cast("long"), F.lit(200)) / 1000.0
+        ),
+        F.lit(200_000),
+    )
+    inv = RowInvariant(
+        "pcm_payload_size",
+        make_violation=lambda df: (
+            F.coalesce(F.col("codec"), F.lit("pcm_s16le")).isin("pcm_s16le", "wav")
+            & (F.length("bytes") < n_samp * 2 + 44)
+        ),
+    )
+    s = ConstraintSuite().add(inv)
+    res = checks.run_suite(clips, s, key_cols=["clip_id"], n_buckets=8,
+                           stat_columns=[])
+    got = sorted(
+        r["clip_id"] for r in res.violations["pcm_payload_size"].collect()
+    )
+    manifest = synth.plant_manifest(N)
+    expected = sorted(
+        cid for cid in manifest["payload_corrupt"]
+        if int(cid.split("_")[1]) % 2 == 0  # even ids = truncation plants
+    )
+    assert got == expected
 
 
 def test_partition_verdicts_sum_to_global(result):
