@@ -30,7 +30,8 @@ SNR_DB_MIN = 30.0
 
 INVARIANT_SCHEMA = (
     "clip_id string, bucket_id int, bytes_null boolean, pcm_ok boolean, "
-    "snr_db double, transcript_ok boolean, decode_error string"
+    "meta_sr_ok boolean, snr_db double, transcript_ok boolean, "
+    "decode_error string"
 )
 
 
@@ -113,6 +114,28 @@ _HEADER_VALIDATORS = {
     "opus": validate_ogg_page,
     "mp3": validate_mp3_frame,
 }
+
+
+def container_sr(b: bytes, codec: str | None) -> int | None:
+    """Sample rate as DECLARED BY THE CONTAINER (WAV fmt chunk, FLAC
+    STREAMINFO, OpusHead), or None when the container doesn't carry one we
+    parse (mp3 — our fixture writes a fixed header) or the payload is
+    malformed (malformation is the header validators' job, not this one's)."""
+    try:
+        if codec in (None, "pcm_s16le", "wav"):
+            return struct.unpack("<I", b[24:28])[0]
+        if codec == "flac":
+            packed = int.from_bytes(b[18:26], "big")
+            return packed >> 44
+        if codec == "opus":
+            n_segs = b[26]
+            payload = b[27 + n_segs :]
+            if payload[:8] != b"OpusHead":
+                return None
+            return struct.unpack("<I", payload[12:16])[0]
+    except Exception:
+        return None
+    return None
 
 
 def decode(b: bytes, codec: str | None) -> np.ndarray:
@@ -240,6 +263,7 @@ def audio_invariants(
 
             bytes_null = np.zeros(n, dtype=bool)
             pcm_ok = np.zeros(n, dtype=bool)
+            meta_sr_ok = np.ones(n, dtype=bool)
             snrs = np.full(n, np.nan)
             errs: list[str | None] = [None] * n
             for j in range(n):
@@ -247,8 +271,9 @@ def audio_invariants(
                     bytes_null[j] = True
                     errs[j] = "short_or_null_payload"
                     continue
+                buf = blob[j].as_buffer()
                 try:
-                    actual = decode(blob[j].as_buffer(), codecs[j])
+                    actual = decode(buf, codecs[j])
                     exp = expected_fn(clip_ids[j], int(srs[j]), int(durs[j]))
                     s = snr_db(exp, actual)
                     snrs[j] = s
@@ -261,28 +286,35 @@ def audio_invariants(
                 except ValueError as e:
                     pcm_ok[j] = False
                     errs[j] = str(e)
+                # cross-field metadata invariant: the sample rate the CONTAINER
+                # declares must equal the sr_hz column (None = container parses
+                # clean but carries no comparable rate, or is already flagged
+                # malformed by the header validators)
+                csr = container_sr(bytes(memoryview(buf)[:256]), codecs[j])
+                meta_sr_ok[j] = csr is None or csr == int(srs[j])
             yield pa.RecordBatch.from_arrays(
                 [
                     col["clip_id"],
                     col["bucket_id"],
                     pa.array(bytes_null),
                     pa.array(pcm_ok),
+                    pa.array(meta_sr_ok),
                     pa.array(snrs),
                     pa.array(errs, type=pa.string()),
                 ],
-                names=["clip_id", "bucket_id", "bytes_null", "pcm_ok", "snr_db",
-                       "decode_error"],
+                names=["clip_id", "bucket_id", "bytes_null", "pcm_ok",
+                       "meta_sr_ok", "snr_db", "decode_error"],
             )
 
     pcm_res = pcm_in.mapInArrow(
         check,
         schema=(
             "clip_id string, bucket_id int, bytes_null boolean, pcm_ok boolean, "
-            "snr_db double, decode_error string"
+            "meta_sr_ok boolean, snr_db double, decode_error string"
         ),
     )
     return pcm_res.join(t_res, "clip_id", "left").select(
-        "clip_id", "bucket_id", "bytes_null", "pcm_ok", "snr_db",
+        "clip_id", "bucket_id", "bytes_null", "pcm_ok", "meta_sr_ok", "snr_db",
         F.coalesce("transcript_ok", F.lit(False)).alias("transcript_ok"),
         "decode_error",
     )

@@ -1172,6 +1172,7 @@ _AUDIO_INV_ORACLE = f"""
       SELECT i,
         NOT (i % 2000 = 13 OR i % 3000 = 41) AS pcm_ok,
         NOT (i % 2000 = 29 OR i % 500 = 3 OR i % 1000 = 37) AS transcript_ok,
+        NOT (i % 4000 = 43) AS meta_sr_ok,
         CASE WHEN i % 3000 = 41 THEN
           CASE ((i - 41) // 3000) % 3
             WHEN 0 THEN 'bad_flac_header'
@@ -1181,9 +1182,9 @@ _AUDIO_INV_ORACLE = f"""
         CASE WHEN i % 1000 = 7 THEN 2 ELSE 1 END AS w
       FROM ids)
     SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 10, '0') AS clip_id,
-           pcm_ok, transcript_ok, decode_error
+           pcm_ok, transcript_ok, meta_sr_ok, decode_error
     FROM v JOIN (SELECT unnest(range(1, 3)) AS dup) d ON d.dup <= v.w
-    WHERE NOT pcm_ok OR NOT transcript_ok
+    WHERE NOT pcm_ok OR NOT transcript_ok OR NOT meta_sr_ok
 """
 
 
@@ -1198,8 +1199,10 @@ def audio_invariant_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode_error is surfaced only when it CAUSED the violation — for
     # passing rows it records incidental facts (e.g. codec_decoder_missing)
     # that depend on the rng-drawn codec and aren't part of the contract
-    return inv.filter(~F.col("pcm_ok") | ~F.col("transcript_ok")).select(
-        "clip_id", "pcm_ok", "transcript_ok",
+    return inv.filter(
+        ~F.col("pcm_ok") | ~F.col("transcript_ok") | ~F.col("meta_sr_ok")
+    ).select(
+        "clip_id", "pcm_ok", "transcript_ok", "meta_sr_ok",
         F.when(~F.col("pcm_ok"), F.col("decode_error")).alias("decode_error"),
     )
 

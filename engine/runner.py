@@ -59,7 +59,11 @@ def validate(
 
     if check_audio and transcripts is not None:
         inv = audio_mod.audio_invariants(clips, transcripts).cache()
-        audio_checks = [("pcm_ok", "pcm_snr_invariant"), ("transcript_ok", "transcript_equality")]
+        audio_checks = [
+            ("pcm_ok", "pcm_snr_invariant"),
+            ("transcript_ok", "transcript_equality"),
+            ("meta_sr_ok", "container_sr_consistency"),
+        ]
         if bytes_nn:
             inv = inv.withColumn("bytes_ok", ~F.col("bytes_null"))
             audio_checks.append(("bytes_ok", bytes_nn[0].name))

@@ -42,6 +42,7 @@ RULES = {
     "codec_null": (500, 11),
     "dangling_fk": (1000, 37),           # clip_id missing from transcripts
     "container_header_corrupt": (3000, 41),  # flac/opus/mp3 with broken header
+    "sr_metadata_mismatch": (4000, 43),      # container declares 2x the column sr
 }
 
 #: codec cycle for container_header_corrupt plants: the k-th planted id
@@ -249,9 +250,16 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
         if _hit(np.array([i]), "codec_null")[0]:
             codec = None
 
+        sr_mismatch = _hit(np.array([i]), "sr_metadata_mismatch")[0]
+        if sr_mismatch:
+            # container metadata declares twice the column's sample rate —
+            # planted on flac (valid header, opaque body) so it is caught by
+            # the cross-field invariant alone, not by decode/SNR
+            codec = "flac"
+
         if codec in ("flac", "opus", "mp3"):
             n_samp = min(int(sr * max(dur, 200) / 1000), 200_000)
-            b = container_bytes(codec, i, sr, n_samp)
+            b = container_bytes(codec, i, sr * 2 if sr_mismatch else sr, n_samp)
             if corrupt_header:
                 b = b"XXXX" + b[4:]  # break magic / frame sync
         else:

@@ -155,6 +155,63 @@ def test_stateful_ewma_stream_carries_state(spark, tmp_path):
             assert abs(gr - er) < 1e-9 * max(1.0, abs(er)), (k, gr, er)
 
 
+@pytest.mark.slow
+def test_windowed_drift_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windows + watermark end-to-end: windows finalize (append
+    mode) once the watermark passes, and a row arriving later than the
+    watermark allows is DROPPED — the finalized window's count is unchanged."""
+    src = str(tmp_path / "wm_landing")
+    out = str(tmp_path / "wm_out")
+
+    def write_batch(rows, mode):
+        df = spark.createDataFrame(rows, "ts string, value double").select(
+            F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        df.coalesce(1).write.mode(mode).parquet(src)
+
+    # batch 1: two rows in window 10:00-10:05, one in 10:05-10:10
+    write_batch(
+        [("2024-01-01 10:00:30", 1.0), ("2024-01-01 10:02:00", 3.0),
+         ("2024-01-01 10:07:00", 5.0)],
+        "overwrite",
+    )
+    schema = "ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming.windowed_value_drift(stream, "ts", "value",
+                                       window="5 minutes", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: advance event time far enough that the watermark
+    # (max_ts - 10min = 10:20) passes both earlier windows -> they finalize
+    write_batch([("2024-01-01 10:30:00", 7.0)], "append")
+    q.processAllAvailable()
+    # batch 3: a too-late row for the already-finalized 10:00 window
+    # (event time << watermark) plus a fresh row to trigger processing
+    write_batch(
+        [("2024-01-01 10:01:00", 100.0), ("2024-01-01 10:45:00", 9.0)], "append"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (str(r["window"]["start"]), r["n"], r["mean"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window finalized with n=2, mean=2.0 — the late 100.0 row was
+    # dropped, not merged and not re-emitted
+    assert ("2024-01-01 10:00:00", 2, 2.0) in got
+    assert ("2024-01-01 10:05:00", 1, 5.0) in got
+    assert not any(s == "2024-01-01 10:00:00" and n != 2 for s, n, _ in got)
+
+
 def test_windowed_drift_schema(spark):
     # static-frame check of the streaming aggregation expression shape
     df = spark.createDataFrame(

@@ -146,6 +146,17 @@ def test_valid_containers_pass_header_checks(fixture_tables):
             audio_mod.decode(bytes(r["bytes"]), r["codec"])
 
 
+def test_container_sr_consistency_exact(result):
+    """Cross-field metadata invariant: container-declared sample rate must
+    equal the sr_hz column; the planted 2x-sr flac clips are caught exactly
+    (and nothing else — wav/opus containers carry the true rate)."""
+    manifest = synth.plant_manifest(N)
+    got = set(
+        r["clip_id"] for r in result.violations["container_sr_consistency"].collect()
+    )
+    assert got == set(manifest["sr_metadata_mismatch"])
+
+
 def test_transcript_equality_exact(result):
     got = set(r["clip_id"] for r in result.violations["transcript_equality"].collect())
     # mismatch plants + null transcripts + dangling (no gold) all fail equality
@@ -166,7 +177,8 @@ def test_audio_rows_scanned_no_fanout(result, fixture_tables):
         r["constraint"]: r["rows_scanned"]
         for r in result.verdicts.collect()
     }
-    for name in ("pcm_snr_invariant", "transcript_equality", "bytes_not_null"):
+    for name in ("pcm_snr_invariant", "transcript_equality", "bytes_not_null",
+                 "container_sr_consistency"):
         assert rows[name] == total, (name, rows[name], total)
 
 
