@@ -90,6 +90,84 @@ def ivf_topk(
     return brute_force_topk(cand, vec_col, id_col, query, k)
 
 
+def _cos_cols(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ivf_centroids(df: DataFrame, vec_col: str, id_col: str, k: int = 32) -> DataFrame:
+    """Deterministic distributed centroid init: rank vectors by
+    md5(id) and take the k smallest — a uniform reproducible sample that
+    lowers to TakeOrderedAndProject (per-partition top-k heaps; the driver
+    never materializes vectors, and the result STAYS a DataFrame). md5 (not
+    xxhash64) so an external SQL oracle reproduces the exact sample.
+    Returns (cid, cvec)."""
+    return (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(k)
+    )
+
+
+def ivf_assign_distributed(
+    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame
+) -> DataFrame:
+    """IVF build pass with the centroid set as a DATAFRAME (vs ivf_assign's
+    inlined literals, which requires a driver collect): broadcast the k-row
+    centroid table, argmax cosine per vector via one max-of-struct
+    aggregation. Zero driver-side vector state at any table size.
+    Returns (id, vec, centroid_id)."""
+    j = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(centroids))
+    sim = _cos_cols(F.col(vec_col), F.col("cvec"))
+    # struct compare: sim first, cid breaks ties deterministically; the vec
+    # field is never reached by the comparison (cid is unique) and just rides
+    # along so no second join is needed to recover it
+    best = (
+        j.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(sim.alias("sim"), F.col("cid"), F.col(vec_col).alias("v"))
+            ).alias("b")
+        )
+        .select(
+            F.col(id_col),
+            F.col("b.v").alias(vec_col),
+            F.col("b.cid").alias("centroid_id"),
+        )
+    )
+    return best
+
+
+def ivf_topk_distributed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Fully declarative IVF search — centroid init, probe selection,
+    assignment, and candidate top-k are ALL DataFrame ops (no collect
+    anywhere): probe = the n_probe centroids nearest the query (tiny
+    orderBy+limit), candidates = vectors assigned to a probed centroid
+    (broadcast semi-join), then exact top-k. At scale the assignment is
+    precomputed and the table partitioned by centroid_id → the probe join
+    becomes partition pruning."""
+    cents = ivf_centroids(df, vec_col, id_col, k=n_centroids)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    probe = (
+        cents.select("cid", "cvec", _cos_cols(F.col("cvec"), q).alias("qs"))
+        .orderBy(F.desc("qs"), "cid")
+        .limit(n_probe)
+        .select("cid")
+    )
+    assigned = ivf_assign_distributed(df, vec_col, id_col, cents)
+    cand = assigned.join(
+        F.broadcast(probe), assigned.centroid_id == probe.cid
+    ).select(id_col, vec_col)
+    return brute_force_topk(cand, vec_col, id_col, query, k)
+
+
 def _bucket_bits(vec_col: str, n_planes: int, seed: int, dim: int):
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))

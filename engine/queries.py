@@ -1010,6 +1010,49 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_topk_distributed",
+    f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings),
+    c AS (SELECT vec_id AS cid, ev AS cvec FROM e
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {_COS_SQL.format(a='c.cvec', b='qv')} DESC,
+                                  c.cid) AS rn
+        FROM c, q) WHERE rn <= 2),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_SQL.format(a='e.ev', b='c.cvec')} DESC,
+                                  c.cid DESC) AS rn
+        FROM e, c) WHERE rn = 1),
+    cand AS (
+      SELECT e.vec_id, {_COS_SQL.format(a='e.ev', b='qv')} AS cos_exact
+      FROM e JOIN assign USING (vec_id) JOIN probe ON assign.cid = probe.cid
+      CROSS JOIN q)
+    SELECT vec_id, round(cos_exact, 6) AS cos_sim
+    FROM cand ORDER BY cos_exact DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivf_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with ZERO driver-side vector state: centroid init is a
+    deterministic md5-ranked sample (TakeOrderedAndProject), probe selection
+    and assignment are broadcast joins + max-of-struct argmax — the 10^12-row
+    variant of ann_ivf_topk (whose centroid collect is demo-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    top = ann.ivf_topk_distributed(
+        emb, "embedding", "vec_id", qv, k=10, n_centroids=32, n_probe=2
+    )
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (non-SQL-expressible: recursive EWMA, Arrow-UDF audio,
 # seeded hyperplanes, synthetic-fixture suites)

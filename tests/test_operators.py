@@ -222,7 +222,30 @@ def test_simhash_near_dup_pairs(spark):
     assert all(a in (0, 1, 4) and b in (0, 1, 4) for a, b in pairs)
 
 
-def test_cosine_near_dup_pairs(spark):
+def test_ivf_distributed_assign_matches_literal(spark, sf01_dir):
+    """The zero-collect IVF build (centroids as a broadcast DataFrame) must
+    produce exactly the assignments of the literal-centroid variant on the
+    same centroid set."""
+    from engine.ann import ivf_assign, ivf_assign_distributed, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    cents_df = ivf_centroids(emb, "embedding", "vec_id", k=16)
+    rows = cents_df.orderBy("cid").collect()
+    cent_list = [[float(x) for x in r["cvec"]] for r in rows]
+    cid_by_pos = {i: r["cid"] for i, r in enumerate(rows)}
+
+    lit = {
+        r["vec_id"]: cid_by_pos[r["centroid_id"]]
+        for r in ivf_assign(emb, "embedding", "vec_id", cent_list).collect()
+    }
+    dist = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_distributed(emb, "embedding", "vec_id", cents_df).collect()
+    }
+    assert len(dist) == emb.count()
+    # tie-break conventions differ only when two centroids give EXACTLY the
+    # same cosine — impossible on this data; assignments must match 1:1
+    assert dist == lit
     """Embedding near-dup: an almost-identical vector pair lands in the same
     LSH bucket and survives exact-cosine verification; unrelated vectors
     don't pair."""
