@@ -1559,6 +1559,54 @@ def drift_report_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "drift_sketch_accuracy_clips",
+    """
+    SELECT * FROM (VALUES ('dur_ms', true), ('sr_hz', true))
+    t(column_name, ks_within_tolerance)
+    """,
+)
+def drift_sketch_accuracy_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy oracle for the drift VALUES: the t-digest KS statistic
+    must sit within 0.05 of the exact two-sample KS computed from full ECDFs
+    on the same pair of tables (baseline clips vs +25%-dur drifted clips).
+    The exact KS is only computable at fixture scale — at 10^12 rows the
+    digest IS the product; this query pins its error where exact truth is
+    still affordable."""
+    from engine import drift, synth
+
+    clips = synth.gen_clips(spark, 2000, partitions=8).cache()
+    drifted = clips.withColumn("dur_ms", (F.col("dur_ms") * 1.25).cast("int"))
+    baseline = drift.fit_baseline(clips, ["dur_ms", "sr_hz"], [])
+    current = drift.fit_baseline(drifted, ["dur_ms", "sr_hz"], [])
+
+    def exact_ks(col: str) -> float:
+        a = clips.select(F.col(col).cast("double").alias("v"), F.lit(1).alias("is_a"))
+        b = drifted.select(F.col(col).cast("double").alias("v"), F.lit(0).alias("is_a"))
+        u = a.unionByName(b)
+        n_a = clips.count()
+        n_b = n_a
+        # aggregate per DISTINCT value before the cumulative step: the ECDF
+        # difference is only evaluated after all ties at a value are consumed
+        g = u.groupBy("v").agg(
+            F.sum("is_a").alias("a_cnt"),
+            F.sum(1 - F.col("is_a")).alias("b_cnt"),
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ecdf = g.select(
+            (F.sum("a_cnt").over(w) / n_a - F.sum("b_cnt").over(w) / n_b).alias("d")
+        )
+        return ecdf.agg(F.max(F.abs(F.col("d")))).collect()[0][0]
+
+    from engine.sketch import ks_statistic
+
+    rows = []
+    for col in ("dur_ms", "sr_hz"):
+        sketch_ks = ks_statistic(baseline.digests[col], current.digests[col])
+        rows.append((col, abs(sketch_ks - exact_ks(col)) <= 0.05))
+    return spark.createDataFrame(rows, "column_name string, ks_within_tolerance boolean")
+
+
+@register(
     "drift_verdicts_clips",
     """
     SELECT * FROM (VALUES
