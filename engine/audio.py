@@ -52,7 +52,9 @@ def decode_wav_pcm16(b: bytes) -> np.ndarray:
     payload = b[44:]
     if len(payload) < data_len:
         raise ValueError("truncated_payload")
-    return np.frombuffer(payload[:data_len], dtype="<i2").astype(np.float64) / 32768.0
+    # float32: PCM16 fits exactly, and the decode output is the other half of
+    # the invariant pass's memory traffic (see clean_pcm32)
+    return np.frombuffer(payload[:data_len], dtype="<i2").astype(np.float32) / np.float32(32768.0)
 
 
 def validate_flac_header(b: bytes) -> None:
@@ -175,10 +177,12 @@ def snr_db(expected: np.ndarray, actual: np.ndarray) -> float:
 
 def _default_expected(clip_id: str, sr: int, dur_ms: int) -> np.ndarray:
     """Expected clean signal for fixture clips: re-synthesized from the id
-    (synth.clean_pcm). Production deployments swap in a reference decode."""
+    (synth.clean_pcm32 — float32: half the memory traffic of the float64
+    generator path, ~-140 dB from it, irrelevant at the 30 dB threshold).
+    Production deployments swap in a reference decode."""
     i = int(clip_id.split("_")[1])
-    sig = synth.clean_pcm(i, sr, max(dur_ms, 200))
-    return sig * (32000.0 * 0.9 / 32768.0)  # generator's exact int16 scale
+    sig = synth.clean_pcm32(i, sr, max(dur_ms, 200))
+    return sig * np.float32(32000.0 * 0.9 / 32768.0)  # generator's int16 scale
 
 #: bytes of payload shipped to Python for codecs whose decoder is the
 #: header-validation stub: FLAC magic+STREAMINFO is 42 B, our Ogg BOS page

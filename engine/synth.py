@@ -180,6 +180,30 @@ def container_bytes(codec: str, i: int, sr: int, n_samples: int) -> bytes:
     return mp3_bytes(body)
 
 
+def clean_pcm32(i: int, sr: int, dur_ms: int, max_samples: int = 200_000) -> np.ndarray:
+    """float32 variant of clean_pcm for the VALIDATION side (engine/audio.py):
+    same seeded params, half the memory traffic and SIMD-friendlier sin — the
+    synthesis is the hottest function in the invariant UDF and the 16-32-core
+    legs are memory-bandwidth-bound (BENCH.md). Differs from the float64
+    generator signal by ~1e-7 relative (~-140 dB), far below the 30 dB SNR
+    threshold and the -50 dB planted noise floor. Payload GENERATION keeps
+    the float64 path so fixtures are unchanged."""
+    rng = _rng(i)
+    n_samp = min(int(sr * dur_ms / 1000), max_samples)
+    f1 = 80.0 + 400.0 * rng.random()
+    phase = 2 * np.pi * rng.random()
+    a = np.arange(n_samp, dtype=np.float32)
+    a *= np.float32((2 * np.pi * f1) / sr)
+    b = a * np.float32(2.0)
+    a += np.float32(phase)
+    np.sin(a, out=a)
+    np.sin(b, out=b)
+    a *= np.float32(0.6)
+    b *= np.float32(0.25)
+    a += b
+    return a
+
+
 def clean_pcm(i: int, sr: int, dur_ms: int, max_samples: int = 200_000) -> np.ndarray:
     """Deterministic noiseless 2-harmonic sine for clip ``i`` — the 'expected
     decode' oracle the SNR invariant compares against (reference formula,
