@@ -103,8 +103,18 @@ class CheckpointedRunner:
         sharded = fact.withColumn("__shard", shard_col)
 
         if shard_storage_path is not None:
-            if not os.path.exists(shard_storage_path):
-                sharded.write.partitionBy("__shard").parquet(shard_storage_path)
+            # completeness is gated on the committer's _SUCCESS marker, not
+            # mere directory existence: a crash mid-write leaves a partial
+            # partitioned table that a resumed run would otherwise silently
+            # read (ADVICE r2). No marker -> rewrite from scratch.
+            marker = os.path.join(shard_storage_path, "_SUCCESS")
+            if not os.path.exists(marker):
+                sharded.write.mode("overwrite").partitionBy("__shard").parquet(
+                    shard_storage_path
+                )
+                if not os.path.exists(marker):  # committer disabled markers
+                    with open(marker, "w"):
+                        pass
             sharded = self.spark.read.parquet(shard_storage_path)
 
         processed = 0

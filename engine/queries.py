@@ -1213,7 +1213,7 @@ _AUDIO_INV_ORACLE = f"""
     WITH ids AS (SELECT unnest(range(0, {_FIXTURE_N})) AS i),
     v AS (
       SELECT i,
-        NOT (i % 2000 = 13 OR i % 3000 = 41) AS pcm_ok,
+        NOT (i % 2000 = 13 OR i % 3000 = 41 OR i % 2000 = 47) AS pcm_ok,
         NOT (i % 2000 = 29 OR i % 500 = 3 OR i % 1000 = 37) AS transcript_ok,
         NOT (i % 4000 = 43) AS meta_sr_ok,
         CASE WHEN i % 3000 = 41 THEN
@@ -1221,6 +1221,7 @@ _AUDIO_INV_ORACLE = f"""
             WHEN 0 THEN 'bad_flac_header'
             WHEN 1 THEN 'bad_ogg_page'
             ELSE 'bad_mp3_frame' END
+        WHEN i % 2000 = 47 THEN 'bad_flac_frame'
         END AS decode_error,
         CASE WHEN i % 1000 = 7 THEN 2 ELSE 1 END AS w
       FROM ids)

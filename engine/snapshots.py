@@ -63,6 +63,17 @@ class SnapshotTable:
         parent = snaps[-1]["snapshot_id"] if snaps else None
         sid = (parent or 0) + 1
         snap_dir = os.path.join(self.data_dir, f"snap-{sid:08d}")
+        # crash recovery (ADVICE r2): a crash AFTER the data write but BEFORE
+        # the manifest commit leaves an orphan snap-{sid} dir; since sids are
+        # deterministic, every retry would recompute the same sid and
+        # errorifexists would block the table forever. A dir with no
+        # committed manifest is by definition uncommitted -> clear it.
+        if os.path.isdir(snap_dir) and not os.path.exists(
+            os.path.join(self.meta_dir, f"manifest-{sid:08d}.json")
+        ):
+            import shutil
+
+            shutil.rmtree(snap_dir)
         df.write.mode("errorifexists").parquet(snap_dir)
         added = sorted(
             os.path.join(f"snap-{sid:08d}", f)

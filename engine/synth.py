@@ -43,6 +43,7 @@ RULES = {
     "dangling_fk": (1000, 37),           # clip_id missing from transcripts
     "container_header_corrupt": (3000, 41),  # flac/opus/mp3 with broken header
     "sr_metadata_mismatch": (4000, 43),      # container declares 2x the column sr
+    "flac_body_corrupt": (2000, 47),         # valid header, corrupted frame body
 }
 
 #: codec cycle for container_header_corrupt plants: the k-th planted id
@@ -99,21 +100,12 @@ def wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
 
 
 def flac_bytes(sr: int, n_samples: int, body: bytes) -> bytes:
-    """Minimal valid FLAC container: 'fLaC' magic + a last-block STREAMINFO
-    metadata block (34 bytes, real sample rate + total-sample count) followed
-    by an opaque pseudo-compressed body. Enough structure for the decode
-    seam's header validation (engine/audio.py) to verify integrity."""
-    # STREAMINFO: min/max blocksize, min/max framesize, then the packed
-    # 20-bit sr | 3-bit channels-1 | 5-bit bps-1 | 36-bit total samples
-    packed = (sr << 44) | (0 << 41) | (15 << 36) | (n_samples & ((1 << 36) - 1))
-    si = (
-        struct.pack(">HH", 4096, 4096)
-        + b"\x00\x00\x00" + b"\x00\x00\x00"          # framesize unknown
-        + packed.to_bytes(8, "big")
-        + b"\x00" * 16                                # md5 of raw samples: unset
-    )
-    assert len(si) == 34
-    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si + body
+    """Legacy opaque-body FLAC container (header-validation tests only).
+    Fixture flac clips carry REAL verbatim frames since round 3 — see
+    engine/flac.py and the flac branch of ``_gen_rows``."""
+    from engine import flac as flac_mod
+
+    return flac_mod.streaminfo(sr, n_samples) + body
 
 
 def _ogg_crc_table() -> list[int]:
@@ -168,13 +160,14 @@ def mp3_bytes(body: bytes) -> bytes:
 
 
 def container_bytes(codec: str, i: int, sr: int, n_samples: int) -> bytes:
-    """Pseudo-compressed payload for a non-PCM codec: valid container header
-    + deterministic opaque body (~half the PCM16 byte size, like a real
-    compressed clip)."""
+    """Payload for a non-PCM codec. flac: REAL verbatim-subset frames
+    (engine/flac.py) carrying the clip's noisy PCM — fully decodable and
+    CRC-verified by the validation engine. opus/mp3: valid container header +
+    deterministic opaque body (no decoder libs in this image; header-only
+    validation at the decode seam)."""
+    assert codec != "flac", "flac payloads are built in _gen_rows (need the pcm)"
     rng = np.random.default_rng(np.random.SeedSequence([SEED, int(i), 4]))
     body = rng.bytes(max(n_samples, 64))
-    if codec == "flac":
-        return flac_bytes(sr, n_samples, body)
     if codec == "opus":
         return ogg_opus_bytes(sr, body)
     return mp3_bytes(body)
@@ -281,7 +274,27 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
             # the cross-field invariant alone, not by decode/SNR
             codec = "flac"
 
-        if codec in ("flac", "opus", "mp3"):
+        body_corrupt = _hit(np.array([i]), "flac_body_corrupt")[0]
+        if body_corrupt:
+            # valid container + header, corrupted FRAME body: only a real
+            # body decode (frame CRC-16 / PCM compare) can catch it — the
+            # plant that proves the flac decode seam is genuinely exercised
+            codec = "flac"
+
+        if codec == "flac":
+            from engine import flac as flac_mod
+
+            sig = clean_pcm(i, sr, max(dur, 200))
+            pcm = _noisy_pcm16(i, sig)
+            b = flac_mod.encode(pcm, sr, streaminfo_sr=sr * 2 if sr_mismatch else None)
+            if body_corrupt:
+                ba = bytearray(b)
+                for k in range(60, 76):  # inside the first verbatim frame
+                    ba[k] ^= 0xA5
+                b = bytes(ba)
+            if corrupt_header:
+                b = b"XXXX" + b[4:]  # break magic
+        elif codec in ("opus", "mp3"):
             n_samp = min(int(sr * max(dur, 200) / 1000), 200_000)
             b = container_bytes(codec, i, sr * 2 if sr_mismatch else sr, n_samp)
             if corrupt_header:

@@ -129,6 +129,58 @@ def test_bucketed_shard_storage_prunes(spark, tables, tmp_path):
     assert 0 < len(shard_files) < len(all_files)
 
 
+def test_partial_shard_storage_rewritten(spark, tables, tmp_path):
+    """ADVICE r2: a crash mid-materialization leaves a partial partitioned
+    table WITHOUT the _SUCCESS marker; a resumed run must rewrite it instead
+    of silently validating the fragment."""
+    import glob
+    import os
+
+    clips, transcripts = tables
+    suite = audio_clip_suite()
+    store = str(tmp_path / "fact_partial")
+
+    # simulate the crash artifact: one shard's files present, no _SUCCESS
+    from engine import checks
+    from pyspark.sql import functions as F
+
+    sharded = clips.withColumn("__shard", checks.bucket_expr(["clip_id"], N_SHARDS))
+    sharded.filter("__shard = 0").write.partitionBy("__shard").parquet(store)
+    os.remove(os.path.join(store, "_SUCCESS"))
+    partial_rows = spark.read.parquet(store).count()
+    assert partial_rows < clips.count()
+
+    runner = CheckpointedRunner(spark, str(tmp_path / "ckpt_partial"))
+    verdicts = runner.run(clips, suite, ["clip_id"],
+                          refs={"transcripts": transcripts}, run_id="pp",
+                          n_shards=N_SHARDS, shard_storage_path=store)
+    assert os.path.exists(os.path.join(store, "_SUCCESS"))
+    assert spark.read.parquet(store).count() == clips.count()
+    total = sum(r["rows_scanned"] for r in runner.lineage("pp").collect())
+    assert total == clips.count()
+
+
+def test_snapshot_orphan_data_dir_recovered(spark, tmp_path):
+    """ADVICE r2: a crash between the snapshot data write and the manifest
+    commit leaves an orphan snap-{sid} dir; the deterministic sid means every
+    retry hits it — append must clear uncommitted dirs, not error forever."""
+    import os
+
+    from engine.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_orphan"))
+    s1 = t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    # simulate: data for snapshot 2 written, manifest never committed
+    orphan = os.path.join(t.data_dir, f"snap-{s1 + 1:08d}")
+    spark.createDataFrame([(99, "crash")], "k int, v string").write.parquet(orphan)
+    assert os.path.isdir(orphan)
+
+    s2 = t.append(spark.createDataFrame([(2, "b")], "k int, v string"))
+    assert s2 == s1 + 1
+    # the orphan's rows are NOT visible; the committed append's are
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
+
+
 def test_resumed_verdicts_honor_null_rate(spark, tables, tmp_path):
     """A suite with max_null_rate > 0: resumed/merged verdicts apply the same
     tolerance as an uninterrupted checks.run_suite run."""

@@ -246,6 +246,9 @@ def test_ivf_distributed_assign_matches_literal(spark, sf01_dir):
     # tie-break conventions differ only when two centroids give EXACTLY the
     # same cosine — impossible on this data; assignments must match 1:1
     assert dist == lit
+
+
+def test_cosine_near_dup_pairs(spark):
     """Embedding near-dup: an almost-identical vector pair lands in the same
     LSH bucket and survives exact-cosine verification; unrelated vectors
     don't pair."""

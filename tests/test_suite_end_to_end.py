@@ -104,10 +104,60 @@ def test_ref_integrity_exact(result):
 def test_audio_invariants_exact(result):
     manifest = synth.plant_manifest(N)
     got = set(r["clip_id"] for r in result.violations["pcm_snr_invariant"].collect())
-    # PCM-content corruption (decodable codec) + container-header corruption
-    # (stubbed codecs, caught by magic/CRC/frame-sync validation)
-    expected = set(manifest["payload_corrupt"]) | set(manifest["container_header_corrupt"])
+    # PCM-content corruption (wav), container-header corruption (all codecs,
+    # magic/CRC/frame-sync), and flac FRAME-BODY corruption (only catchable
+    # by the real body decode: frame CRC-16 / PCM compare)
+    expected = (
+        set(manifest["payload_corrupt"])
+        | set(manifest["container_header_corrupt"])
+        | set(manifest["flac_body_corrupt"])
+    )
     assert got == expected
+
+
+def test_flac_body_corruption_caught(result):
+    """The planted flac clips have a VALID container + header but corrupted
+    frame bytes — only the real body decode (engine/flac.py CRC-16) catches
+    them, with the frame-level error."""
+    manifest = synth.plant_manifest(N)
+    assert len(manifest["flac_body_corrupt"]) >= 2
+    errs = {
+        r["clip_id"]: r["offending_value"]
+        for r in result.violations["pcm_snr_invariant"].collect()
+    }
+    for cid in manifest["flac_body_corrupt"]:
+        assert errs[cid] == "bad_flac_frame", (cid, errs.get(cid))
+
+
+def test_flac_roundtrip_snr(fixture_tables):
+    """Un-corrupted fixture flac clips decode to the EXACT planted PCM
+    (verbatim subframes are lossless) and pass the SNR>=30dB invariant."""
+    import numpy as np
+
+    from engine import audio as audio_mod
+
+    clips, _ = fixture_tables
+    manifest = synth.plant_manifest(N)
+    bad = (
+        set(manifest["container_header_corrupt"])
+        | set(manifest["flac_body_corrupt"])
+    )
+    sample = [
+        r for r in clips.filter("codec = 'flac'")
+        .select("clip_id", "bytes", "sr_hz", "dur_ms").limit(40).collect()
+        if r["clip_id"] not in bad
+    ]
+    assert len(sample) > 0
+    for r in sample:
+        i = int(r["clip_id"].split("_")[1])
+        actual = audio_mod.decode(bytes(r["bytes"]), "flac")
+        sig = synth.clean_pcm(i, r["sr_hz"], max(r["dur_ms"], 200))
+        expected_pcm = synth._noisy_pcm16(i, sig)
+        assert np.array_equal(
+            (actual * np.float32(32768.0)).astype(np.int16), expected_pcm
+        ), r["clip_id"]
+        exp = audio_mod._default_expected(r["clip_id"], r["sr_hz"], r["dur_ms"])
+        assert audio_mod.snr_db(exp, actual) >= audio_mod.SNR_DB_MIN, r["clip_id"]
 
 
 def test_container_header_validation_by_codec(result):
@@ -126,9 +176,10 @@ def test_container_header_validation_by_codec(result):
 
 
 def test_valid_containers_pass_header_checks(fixture_tables):
-    """Un-corrupted flac/opus/mp3 clips carry VALID containers: header
-    validation must not flag them (magic, STREAMINFO, page CRC, frame sync
-    all check out)."""
+    """Un-corrupted containers must not be flagged: opus/mp3 header-validate
+    clean (then hit the documented decoder stub); flac decodes to real PCM."""
+    import numpy as np
+
     from engine import audio as audio_mod
 
     clips, _ = fixture_tables
@@ -138,12 +189,16 @@ def test_valid_containers_pass_header_checks(fixture_tables):
     )
     assert len(sample) > 0
     manifest = synth.plant_manifest(N)
-    bad = set(manifest["container_header_corrupt"])
+    bad = set(manifest["container_header_corrupt"]) | set(manifest["flac_body_corrupt"])
     import pytest as _pytest
 
     for r in (x for x in sample if x["clip_id"] not in bad):
-        with _pytest.raises(NotImplementedError):
-            audio_mod.decode(bytes(r["bytes"]), r["codec"])
+        if r["codec"] == "flac":
+            out = audio_mod.decode(bytes(r["bytes"]), "flac")
+            assert isinstance(out, np.ndarray) and len(out) > 0
+        else:
+            with _pytest.raises(NotImplementedError):
+                audio_mod.decode(bytes(r["bytes"]), r["codec"])
 
 
 def test_container_sr_consistency_exact(result):
