@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "winnow_fingerprints_documents",
     "ewma_residual_events",
-    "train_split_stats_ranged",
+    "train_split_stats",
     "embedding_near_dup_pairs",
     "kde_threshold_pipeline",
 ]

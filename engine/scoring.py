@@ -101,6 +101,14 @@ def ewma_residual(
     pathological series (or true streams), the chunk-and-carry-state variant
     is ``engine/streaming.py:stateful_ewma_stream`` — same recursion as two
     carried scalars per series, O(chunk) memory, vectorized closed form.
+
+    Crossover guidance: prefer THIS operator while max-series rows fit one
+    executor's task memory and n_series >= cluster cores (e.g. <= ~10M rows
+    per series at default executor sizing); switch to the chunked stateful
+    variant when one series dominates (>= ~1/cores of all rows — it would
+    serialize the stage) or any single series risks task OOM. Both produce
+    bit-compatible results — parity is pytest-pinned on a 50%-skewed fixture
+    (tests/test_streaming.py::test_stateful_ewma_skewed_series_parity).
     """
     cols = df.columns
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", ewma double, residual double"

@@ -156,11 +156,19 @@ def stateful_ewma_stream(
 
     def update(key, pdfs, state):
         num, den = state.get if state.exists else (0.0, 0.0)
-        for pdf in pdfs:
+        # a LARGE group arrives as multiple pdf chunks whose row ranges can
+        # interleave arbitrarily — sorting each chunk alone would scramble the
+        # recursion order (caught by the 50%-skew parity test). Concatenate
+        # the batch's group rows, then ONE global sort. Memory is bounded by
+        # the per-micro-batch group size, not the stream length — for a group
+        # too big for that, shrink the micro-batch (maxFilesPerTrigger /
+        # maxOffsetsPerTrigger), which is the knob this operator documents.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(order_col)
             x = pdf[value_col].to_numpy(dtype=np.float64)
             fc, num, den = scan(x, num, den)
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     series_col: pdf[series_col].to_numpy(),
                     order_col: pdf[order_col].to_numpy(),
@@ -169,7 +177,6 @@ def stateful_ewma_stream(
                     "residual": x - fc,
                 }
             )
-            yield out
         state.update((num, den))
 
     return stream_df.groupBy(series_col).applyInPandasWithState(
