@@ -30,7 +30,11 @@ import struct
 
 import numpy as np
 
-BLOCKSIZE = 4096
+# 4080, not 4096: the CRC-16 tree pads each frame to a power-of-two WORD
+# count, and a 4096-sample frame is 4096 sample-words + ~5 header words —
+# just past the 4096 boundary, doubling the fold work. 4080 keeps a full
+# frame (header + verbatim samples) within 4096 words.
+BLOCKSIZE = 4080
 CRC16_POLY = 0x18005  # x^16 + x^15 + x^2 + 1 (FLAC frame CRC, init 0)
 CRC8_POLY = 0x107     # x^8 + x^2 + x + 1   (FLAC header CRC, init 0)
 
@@ -76,26 +80,35 @@ def _adv(level: int) -> np.ndarray:
     return _ADV[level]
 
 
-def crc16(data) -> int:
-    """FLAC frame CRC-16 (poly 0x8005, init 0, no reflection, no xorout).
-    Vectorized: leading zero pad is a no-op under init=0, so the message is
-    front-padded to an even, power-of-two word count and tree-reduced."""
-    n = len(data)
-    buf = np.frombuffer(data, dtype=np.uint8)
-    if n % 2:
-        buf = np.concatenate([np.zeros(1, dtype=np.uint8), buf])
-    words = buf.view(">u2").astype(np.uint16)
-    if len(words) == 0:
-        return 0
-    n2 = 1 << (len(words) - 1).bit_length()
-    if n2 != len(words):
-        words = np.concatenate([np.zeros(n2 - len(words), dtype=np.uint16), words])
-    arr = _adv(0)[words]  # per-word CRC: R(w) = w * x^16 mod p
+def crc16_many(chunks: list) -> np.ndarray:
+    """CRC-16 (poly 0x8005, init 0, no reflection, no xorout) of SEVERAL
+    byte chunks in one vectorized GF(2) tree reduction: leading zero pad is a
+    no-op under init=0, so every chunk is front-padded to the same
+    power-of-two word count and the whole batch folds as a 2-D array — one
+    numpy call sequence per CLIP instead of per frame (the decode hot path)."""
+    words = []
+    maxlen = 1
+    for c in chunks:
+        b = np.frombuffer(c, dtype=np.uint8)
+        if len(b) % 2:
+            b = np.concatenate([np.zeros(1, dtype=np.uint8), b])
+        w = b.view(">u2").astype(np.uint16)
+        words.append(w)
+        maxlen = max(maxlen, len(w))
+    n2 = 1 << (maxlen - 1).bit_length()
+    mat = np.zeros((len(words), n2), dtype=np.uint16)
+    for i, w in enumerate(words):
+        mat[i, n2 - len(w) :] = w
+    arr = _adv(0)[mat]  # per-word CRC: R(w) = w * x^16 mod p
     level = 0
-    while len(arr) > 1:
-        arr = _adv(level)[arr[0::2]] ^ arr[1::2]
+    while arr.shape[1] > 1:
+        arr = _adv(level)[arr[:, 0::2]] ^ arr[:, 1::2]
         level += 1
-    return int(arr[0])
+    return arr[:, 0]
+
+
+def crc16(data) -> int:
+    return int(crc16_many([data])[0])
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +238,7 @@ def decode(b) -> np.ndarray:
             break
 
     chunks: list[np.ndarray] = []
+    frames: list = []   # (frame bytes sans footer, stored crc16)
     got = 0
     while pos < n:
         fstart = pos
@@ -263,8 +277,7 @@ def decode(b) -> np.ndarray:
         if end + 2 > n:
             raise ValueError("bad_flac_frame")
         stored = struct.unpack(">H", mv[end : end + 2])[0]
-        if crc16(mv[fstart:end]) != stored:
-            raise ValueError("bad_flac_frame")
+        frames.append((mv[fstart:end], stored))
         chunks.append(np.frombuffer(mv[pos2:end], dtype=">i2").astype(np.int16))
         got += bs
         pos = end + 2
@@ -273,5 +286,10 @@ def decode(b) -> np.ndarray:
         raise ValueError("bad_flac_frame")
     if not chunks:
         raise ValueError("bad_flac_frame")
+    # all frame CRC-16s in ONE batched tree reduction (hot-path cost lever)
+    crcs = crc16_many([f for f, _ in frames])
+    for c, (_, stored) in zip(crcs, frames):
+        if int(c) != stored:
+            raise ValueError("bad_flac_frame")
     pcm = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
     return pcm.astype(np.float32) / np.float32(32768.0)
