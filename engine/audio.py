@@ -78,49 +78,105 @@ def validate_flac_header(b: bytes) -> None:
         raise ValueError("bad_flac_header")
 
 
-def validate_ogg_page(b: bytes) -> None:
-    """Ogg first-page integrity: 'OggS' magic, version 0, and the page CRC
-    (poly 0x04C11DB7) recomputed over the page with a zeroed crc field."""
-    from engine.synth import ogg_crc
+def validate_ogg_stream(b) -> None:
+    """FULL Ogg chain integrity (upgraded r3 from first-page-only): walk
+    every page — 'OggS' magic, version 0, contiguous sequence numbers, one
+    serial, BOS on the first page, EOS on the last, no trailing garbage —
+    and verify every page's CRC-32 in one vectorized batch
+    (engine/oggcrc.py). Opus PACKET decode stays stubbed (no codec libs);
+    any structural corruption anywhere in the stream raises."""
+    from engine.oggcrc import crc32_many
 
-    if b is None or len(b) < 28:
+    mv = memoryview(b) if b is not None else None
+    if mv is not None and mv.format != "B":
+        mv = mv.cast("B")
+    n = len(mv) if mv is not None else 0
+    if mv is None or n < 28:
         raise ValueError("bad_ogg_page")
-    if b[:4] != b"OggS" or b[4] != 0:
+    pos = 0
+    idx = 0
+    serial = None
+    pages: list[tuple[bytes, int]] = []  # (crc-zeroed page bytes, stored crc)
+    last_type = 0
+    while pos < n:
+        if pos + 27 > n or bytes(mv[pos : pos + 4]) != b"OggS" or mv[pos + 4] != 0:
+            raise ValueError("bad_ogg_page")
+        htype = mv[pos + 5]
+        if idx == 0 and not (htype & 0x02):
+            raise ValueError("bad_ogg_page")       # first page must be BOS
+        pser = struct.unpack("<I", mv[pos + 14 : pos + 18])[0]
+        pseq = struct.unpack("<I", mv[pos + 18 : pos + 22])[0]
+        if serial is None:
+            serial = pser
+        if pser != serial or pseq != idx:
+            raise ValueError("bad_ogg_page")
+        n_segs = mv[pos + 26]
+        if pos + 27 + n_segs > n:
+            raise ValueError("bad_ogg_page")
+        page_len = 27 + n_segs + sum(mv[pos + 27 : pos + 27 + n_segs])
+        if pos + page_len > n:
+            raise ValueError("bad_ogg_page")
+        stored = struct.unpack("<I", mv[pos + 22 : pos + 26])[0]
+        page = bytearray(mv[pos : pos + page_len])
+        page[22:26] = b"\x00\x00\x00\x00"
+        pages.append((bytes(page), stored))
+        last_type = htype
+        pos += page_len
+        idx += 1
+    if not (last_type & 0x04):                      # last page must be EOS
         raise ValueError("bad_ogg_page")
-    n_segs = b[26]
-    if len(b) < 27 + n_segs:
-        raise ValueError("bad_ogg_page")
-    seg_table = b[27 : 27 + n_segs]
-    page_len = 27 + n_segs + sum(seg_table)
-    if len(b) < page_len:
-        raise ValueError("bad_ogg_page")
-    stored = struct.unpack("<I", b[22:26])[0]
-    page = bytearray(b[:page_len])
-    page[22:26] = b"\x00\x00\x00\x00"
-    if ogg_crc(bytes(page)) != stored:
-        raise ValueError("bad_ogg_page")
+    crcs = crc32_many([p for p, _ in pages])
+    for c, (_, stored) in zip(crcs, pages):
+        if int(c) != stored:
+            raise ValueError("bad_ogg_page")
 
 
-def validate_mp3_frame(b: bytes) -> None:
-    """MPEG frame-header integrity: 11-bit sync, valid layer, non-reserved
-    bitrate and sample-rate indices."""
-    if b is None or len(b) < 4:
+def validate_mp3_stream(b) -> None:
+    """FULL MP3 frame-chain integrity (upgraded r3 from first-header-only):
+    hop frame to frame using each header's computed length (MPEG-1 Layer III
+    bitrate/samplerate tables), requiring a valid sync + non-reserved indices
+    at every hop and exact coverage to end-of-payload. Frames carry no CRC,
+    so header-chain consistency is the strongest structural check available
+    without a real decoder."""
+    mv = memoryview(b) if b is not None else None
+    if mv is not None and mv.format != "B":
+        mv = mv.cast("B")
+    n = len(mv) if mv is not None else 0
+    if mv is None or n < 4:
         raise ValueError("bad_mp3_frame")
-    if b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
-        raise ValueError("bad_mp3_frame")
-    layer = (b[1] >> 1) & 0x03
-    bitrate_idx = (b[2] >> 4) & 0x0F
-    sr_idx = (b[2] >> 2) & 0x03
-    if layer == 0 or bitrate_idx == 0x0F or sr_idx == 3:
+    from engine.synth import mp3_frame_len
+
+    pos = 0
+    frames = 0
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("bad_mp3_frame")
+        b0, b1, b2 = mv[pos], mv[pos + 1], mv[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError("bad_mp3_frame")
+        version = (b1 >> 3) & 0x03
+        layer = (b1 >> 1) & 0x03
+        bitrate_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if version != 3 or layer != 1 or bitrate_idx in (0, 0x0F) or sr_idx == 3:
+            raise ValueError("bad_mp3_frame")      # MPEG-1 Layer III only
+        flen = mp3_frame_len(b1, b2)
+        if flen <= 4 or pos + flen > n:
+            raise ValueError("bad_mp3_frame")
+        pos += flen
+        frames += 1
+    if frames == 0:
         raise ValueError("bad_mp3_frame")
 
 
-#: codecs whose decoder is still the header-validation stub (no decoder libs
-#: in this image). flac graduated: engine/flac.py decodes the verbatim subset
-#: to PCM with full CRC-8/CRC-16 verification.
+#: codecs whose PACKET decoder is stubbed (no codec libs in this image) but
+#: whose container STRUCTURE is now fully validated end-to-end: every Ogg
+#: page CRC-checked, every MP3 frame header sync-verified with exact chain
+#: coverage. flac graduated further: engine/flac.py decodes the verbatim
+#: subset to PCM with full CRC-8/CRC-16 verification.
 _HEADER_VALIDATORS = {
-    "opus": validate_ogg_page,
-    "mp3": validate_mp3_frame,
+    "opus": validate_ogg_stream,
+    "mp3": validate_mp3_stream,
 }
 
 
@@ -209,21 +265,12 @@ def _default_expected(clip_id: str, sr: int, dur_ms: int) -> np.ndarray:
     sig = synth.clean_pcm32(i, sr, max(dur_ms, 200))
     return sig * np.float32(32000.0 * 0.9 / 32768.0)  # generator's int16 scale
 
-#: bytes of payload shipped to Python for codecs whose decoder is the
-#: header-validation stub (opus/mp3): our Ogg BOS page < 128 B (OpusHead
-#: pages are < 1 KB in practice), MPEG frame header 4 B. flac left this set
-#: in round 3 — its body is now REALLY decoded (engine/flac.py), so the full
-#: flac payload crosses the pipe, exactly as this note always promised.
-HEADER_WINDOW_BYTES = 4096
-
-
 def audio_invariants(
     clips: DataFrame,
     transcripts: DataFrame,
     expected_fn: Callable[[str, int, int], np.ndarray] = _default_expected,
     snr_min_db: float = SNR_DB_MIN,
     broadcast_dim: bool = False,
-    header_window_bytes: int | None = HEADER_WINDOW_BYTES,
 ) -> DataFrame:
     """Per-clip invariant results: pcm_ok (decode + SNR>=min), transcript_ok,
     bytes_null (folded in here so the fused stats scan never has to
@@ -243,19 +290,13 @@ def audio_invariants(
     #   (2) transcript equality is a pruned-column join (clip_id, transcript),
     #   (3) the two SMALL result sets join on clip_id at the end.
     bucket = F.pmod(F.xxhash64("clip_id"), F.lit(32)).cast("int").alias("bucket_id")
-    # byte pruning at the column level: codecs on the header-validation stub
-    # only ever READ the header window, so only that window crosses the
-    # JVM->Python Arrow pipe (the pipe is the single-box scaling ceiling —
-    # BENCH.md). substring() on binary is JVM-side; nulls stay null, so the
-    # bytes_null check is unaffected.
-    payload = F.col("bytes")
-    if header_window_bytes is not None:
-        payload = F.when(
-            F.col("codec").isin(list(_HEADER_VALIDATORS)),
-            F.substring(F.col("bytes"), 1, header_window_bytes),
-        ).otherwise(F.col("bytes"))
+    # every codec's validation now reads the WHOLE payload (real flac decode;
+    # full Ogg page-chain CRCs; full MP3 frame-chain walk), so the r2
+    # header-window byte pruning no longer applies to any codec and was
+    # removed — the full binary column crosses the JVM->Python Arrow pipe
+    # once, in the one pass that exists to read it.
     pcm_in = clips.select(
-        "clip_id", bucket, payload.alias("bytes"), "sr_hz", "dur_ms", "codec"
+        "clip_id", bucket, "bytes", "sr_hz", "dur_ms", "codec"
     )
 
     dim = transcripts.select("clip_id", "transcript_gold")

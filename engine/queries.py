@@ -1133,7 +1133,8 @@ _AUDIO_INV_ORACLE = f"""
     WITH ids AS (SELECT unnest(range(0, {_FIXTURE_N})) AS i),
     v AS (
       SELECT i,
-        NOT (i % 2000 = 13 OR i % 3000 = 41 OR i % 2000 = 47) AS pcm_ok,
+        NOT (i % 2000 = 13 OR i % 3000 = 41 OR i % 2000 = 47
+             OR i % 3000 = 53) AS pcm_ok,
         NOT (i % 2000 = 29 OR i % 500 = 3 OR i % 1000 = 37) AS transcript_ok,
         NOT (i % 4000 = 43) AS meta_sr_ok,
         CASE WHEN i % 3000 = 41 THEN
@@ -1142,6 +1143,10 @@ _AUDIO_INV_ORACLE = f"""
             WHEN 1 THEN 'bad_ogg_page'
             ELSE 'bad_mp3_frame' END
         WHEN i % 2000 = 47 THEN 'bad_flac_frame'
+        WHEN i % 3000 = 53 THEN
+          CASE ((i - 53) // 3000) % 2
+            WHEN 0 THEN 'bad_ogg_page'
+            ELSE 'bad_mp3_frame' END
         END AS decode_error,
         CASE WHEN i % 1000 = 7 THEN 2 ELSE 1 END AS w
       FROM ids)
@@ -1634,9 +1639,10 @@ _CLIPS_FULL_ORACLE = f"""
                 AS BIGINT) FROM b)
       UNION ALL SELECT 'pcm_snr_invariant',
         -- wav PCM corruption + container-header corruption + flac frame-body
-        -- corruption (the real-decode plant)
+        -- corruption (real decode) + opus/mp3 mid-chain corruption (full
+        -- page/frame-chain validation)
         (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 13 OR i % 3000 = 41
-                                        OR i % 2000 = 47
+                                        OR i % 2000 = 47 OR i % 3000 = 53
                                        THEN w ELSE 0 END), 0) AS BIGINT) FROM b)
       UNION ALL SELECT 'transcript_equality',
         (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 29 OR i % 500 = 3

@@ -44,7 +44,19 @@ RULES = {
     "container_header_corrupt": (3000, 41),  # flac/opus/mp3 with broken header
     "sr_metadata_mismatch": (4000, 43),      # container declares 2x the column sr
     "flac_body_corrupt": (2000, 47),         # valid header, corrupted frame body
+    "container_body_corrupt": (3000, 53),    # opus/mp3: corruption PAST the first
+                                             # page/frame — only a full chain walk
+                                             # (page CRCs / frame-sync hops) sees it
 }
+
+#: codec cycle for container_body_corrupt plants (same pattern as the header
+#: cycle): alternates the two chain-validated stub codecs
+BODY_CORRUPT_CYCLE = ("opus", "mp3")
+
+
+def body_corrupt_codec(i: int) -> str:
+    mod, off = RULES["container_body_corrupt"]
+    return BODY_CORRUPT_CYCLE[((i - off) // mod) % 2]
 
 #: codec cycle for container_header_corrupt plants: the k-th planted id
 #: (k = (i - off) // mod) gets cycle[k % 3] — varies the codec across plants
@@ -129,34 +141,75 @@ def ogg_crc(data: bytes) -> int:
     return crc
 
 
+OGG_SERIAL = 0x5EED
+OGG_PAGE_DATA = 4000  # bytes of packet data per page; keeps a page's word
+                      # count under the CRC tree's next power-of-two boundary
+
+
+def ogg_page(seq: int, granule: int, header_type: int, packet: bytes) -> bytes:
+    """One complete Ogg page (correct lacing + CRC) carrying ``packet``."""
+    k, rem = divmod(len(packet), 255)
+    lacing = bytes([255] * k + [rem])
+    header = (
+        b"OggS" + bytes([0, header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", OGG_SERIAL)
+        + struct.pack("<I", seq)
+        + b"\x00\x00\x00\x00"                         # crc placeholder
+        + bytes([len(lacing)]) + lacing
+    )
+    from engine.oggcrc import crc32  # vectorized; == scalar ogg_crc (tested)
+
+    page = bytearray(header + packet)
+    page[22:26] = struct.pack("<I", crc32(bytes(page)))
+    return bytes(page)
+
+
 def ogg_opus_bytes(sr: int, body: bytes) -> bytes:
-    """Minimal valid Ogg/Opus container: one BOS page carrying the OpusHead
-    packet (with a correct page CRC), then an opaque body. Only the first
-    page is CRC-validated by the decode seam — cheap at any payload size."""
+    """Structurally COMPLETE Ogg/Opus container: BOS page with OpusHead,
+    an OpusTags page, then the body as a chain of data pages — every page
+    with a correct CRC, contiguous sequence numbers, EOS on the last. The
+    decode seam walks and CRC-checks the WHOLE chain (opus packet decode
+    itself stays stubbed — no codec libs in this image)."""
     opus_head = (
         b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
         + struct.pack("<I", sr) + struct.pack("<h", 0) + bytes([0])
     )
-    header = (
-        b"OggS" + bytes([0, 0x02])                    # version 0, BOS
-        + struct.pack("<q", 0)                        # granule position
-        + struct.pack("<I", 0x5EED)                   # serial
-        + struct.pack("<I", 0)                        # page sequence
-        + b"\x00\x00\x00\x00"                         # crc placeholder
-        + bytes([1, len(opus_head)])                  # one segment
-    )
-    page = bytearray(header + opus_head)
-    crc = ogg_crc(bytes(page))
-    page[22:26] = struct.pack("<I", crc)
-    return bytes(page) + body
+    opus_tags = b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 0)
+    pages = [ogg_page(0, 0, 0x02, opus_head), ogg_page(1, 0, 0x00, opus_tags)]
+    chunks = [body[i : i + OGG_PAGE_DATA] for i in range(0, max(len(body), 1), OGG_PAGE_DATA)]
+    for j, ch in enumerate(chunks):
+        last = j == len(chunks) - 1
+        pages.append(ogg_page(2 + j, 960 * (j + 1), 0x04 if last else 0x00, ch))
+    return b"".join(pages)
+
+
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables (public header spec)
+MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_frame_len(b1: int, b2: int) -> int:
+    """Frame length in bytes from header bytes 2-3 (MPEG-1 Layer III)."""
+    bitrate = MP3_BITRATES[(b2 >> 4) & 0x0F] * 1000
+    sr = MP3_RATES[(b2 >> 2) & 0x03]
+    padding = (b2 >> 1) & 0x01
+    return 144 * bitrate // sr + padding
 
 
 def mp3_bytes(body: bytes) -> bytes:
-    """Minimal valid MP3: an MPEG-1 Layer III frame header (sync + sane
-    bitrate/samplerate indices) followed by an opaque frame body."""
-    # 0xFF 0xFB: 11-bit sync, MPEG-1, Layer III, no CRC;
-    # 0x90: bitrate index 9 (128kbps), sr index 0 (44100), no padding
-    return bytes([0xFF, 0xFB, 0x90, 0x00]) + body
+    """Structurally COMPLETE MP3: a chain of MPEG-1 Layer III frames (sync +
+    valid bitrate/samplerate indices, correct frame lengths, zero-padded
+    tail) covering the whole body. The decode seam walks every frame header."""
+    # 0xFF 0xFB: sync, MPEG-1, Layer III, no CRC; 0x90: 128kbps, 44100, no pad
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    flen = mp3_frame_len(0xFB, 0x90)                  # 417 incl. header
+    data_per_frame = flen - 4
+    out = []
+    for i in range(0, max(len(body), 1), data_per_frame):
+        ch = body[i : i + data_per_frame]
+        out.append(hdr + ch + b"\x00" * (data_per_frame - len(ch)))
+    return b"".join(out)
 
 
 def container_bytes(codec: str, i: int, sr: int, n_samples: int) -> bytes:
@@ -274,6 +327,13 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
             # the cross-field invariant alone, not by decode/SNR
             codec = "flac"
 
+        chain_corrupt = _hit(np.array([i]), "container_body_corrupt")[0]
+        if chain_corrupt:
+            # valid first page/frame, corruption deep in the chain: proves the
+            # decode seam validates the WHOLE container structure, not a
+            # fixed-size header window
+            codec = body_corrupt_codec(i)
+
         body_corrupt = _hit(np.array([i]), "flac_body_corrupt")[0]
         if body_corrupt:
             # valid container + header, corrupted FRAME body: only a real
@@ -297,6 +357,19 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
         elif codec in ("opus", "mp3"):
             n_samp = min(int(sr * max(dur, 200) / 1000), 200_000)
             b = container_bytes(codec, i, sr * 2 if sr_mismatch else sr, n_samp)
+            if chain_corrupt:
+                ba = bytearray(b)
+                if codec == "mp3":
+                    # frames carry no CRC — break a mid-chain frame HEADER
+                    # (sync bytes), which the frame walk must reach and reject
+                    flen = mp3_frame_len(0xFB, 0x90)
+                    k = (3 * len(ba) // 4 // flen) * flen
+                else:
+                    # any page byte breaks that page's CRC-32
+                    k = 3 * len(ba) // 4
+                for j in range(k, min(k + 8, len(ba))):
+                    ba[j] ^= 0xA5
+                b = bytes(ba)
             if corrupt_header:
                 b = b"XXXX" + b[4:]  # break magic / frame sync
         else:

@@ -105,14 +105,34 @@ def test_audio_invariants_exact(result):
     manifest = synth.plant_manifest(N)
     got = set(r["clip_id"] for r in result.violations["pcm_snr_invariant"].collect())
     # PCM-content corruption (wav), container-header corruption (all codecs,
-    # magic/CRC/frame-sync), and flac FRAME-BODY corruption (only catchable
-    # by the real body decode: frame CRC-16 / PCM compare)
+    # magic/CRC/frame-sync), flac FRAME-BODY corruption (only catchable by
+    # the real body decode: frame CRC-16 / PCM compare), and opus/mp3
+    # MID-CHAIN corruption (only catchable by the full page/frame-chain walk)
     expected = (
         set(manifest["payload_corrupt"])
         | set(manifest["container_header_corrupt"])
         | set(manifest["flac_body_corrupt"])
+        | set(manifest["container_body_corrupt"])
     )
     assert got == expected
+
+
+def test_container_chain_corruption_caught(result):
+    """The planted opus/mp3 clips have a valid FIRST page/frame but
+    corruption at ~3/4 of the payload — a header-window check cannot see it;
+    the full-chain validators (every Ogg page CRC, every MP3 frame sync)
+    must."""
+    manifest = synth.plant_manifest(N)
+    assert len(manifest["container_body_corrupt"]) >= 2
+    errs = {
+        r["clip_id"]: r["offending_value"]
+        for r in result.violations["pcm_snr_invariant"].collect()
+    }
+    for cid in manifest["container_body_corrupt"]:
+        i = int(cid.split("_")[1])
+        codec = synth.body_corrupt_codec(i)
+        expected_err = {"opus": "bad_ogg_page", "mp3": "bad_mp3_frame"}[codec]
+        assert errs[cid] == expected_err, (cid, codec, errs.get(cid))
 
 
 def test_flac_body_corruption_caught(result):
@@ -189,7 +209,11 @@ def test_valid_containers_pass_header_checks(fixture_tables):
     )
     assert len(sample) > 0
     manifest = synth.plant_manifest(N)
-    bad = set(manifest["container_header_corrupt"]) | set(manifest["flac_body_corrupt"])
+    bad = (
+        set(manifest["container_header_corrupt"])
+        | set(manifest["flac_body_corrupt"])
+        | set(manifest["container_body_corrupt"])
+    )
     import pytest as _pytest
 
     for r in (x for x in sample if x["clip_id"] not in bad):
