@@ -139,3 +139,44 @@ def test_streaming_ewma_scan_matches_pandas(seed, alpha, n, n_chunks):
     exp = pd.Series(x).ewm(alpha=alpha, adjust=True).mean().shift(1).to_numpy()
     assert np.isnan(got[0]) and np.isnan(exp[0])
     np.testing.assert_allclose(got[1:], exp[1:], rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# FLAC verbatim codec: lossless round trip + CRC fold == bitwise CRC, for
+# ARBITRARY pcm content and lengths (including blocksize boundaries)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.one_of(
+        st.integers(1, 300),
+        st.sampled_from([4079, 4080, 4081, 8159, 8160, 8161, 12240]),
+        st.integers(4000, 20_000),
+    ),
+    sr=st.sampled_from([8000, 16000, 22050, 44100]),
+)
+def test_flac_roundtrip_any_content(seed, n, sr):
+    from engine import flac
+
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, n).astype(np.int16)
+    out = flac.decode(flac.encode(pcm, sr))
+    assert np.array_equal((out * np.float32(32768.0)).astype(np.int16), pcm)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=600))
+def test_crc_folds_match_bitwise_reference(data):
+    from engine import flac
+    from engine.oggcrc import crc32
+    from engine.synth import ogg_crc
+
+    r16 = 0
+    for b in data:
+        r16 ^= b << 8
+        for _ in range(8):
+            r16 = ((r16 << 1) ^ 0x8005) & 0xFFFF if r16 & 0x8000 else (r16 << 1) & 0xFFFF
+    assert flac.crc16(data) == r16
+    assert crc32(data) == ogg_crc(data)
