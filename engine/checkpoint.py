@@ -45,12 +45,23 @@ CKPT_SCHEMA = (
     "updated_at timestamp"
 )
 
+#: per-shard column-stat PARTIALS (north rule: per-partition lineage + stat
+#: metrics). Partials, not finalized values, so the global roll-up is exact
+#: and mergeable: rows/nulls/sum/sumsq add, min/max fold, ndv merges as an
+#: HLL sketch binary (hll_union_agg) — the same mergeability contract as the
+#: fused stats scan (engine/stats.py).
+STATS_SCHEMA = (
+    "run_id string, shard_id int, column_name string, metric string, "
+    "value double, hll binary, updated_at timestamp"
+)
+
 
 class CheckpointedRunner:
     def __init__(self, spark: SparkSession, checkpoint_dir: str):
         self.spark = spark
         self.dir = checkpoint_dir
         self.table = SnapshotTable(spark, checkpoint_dir)
+        self.stats_table = SnapshotTable(spark, os.path.join(checkpoint_dir, "stats"))
 
     # -- checkpoint table I/O --------------------------------------------------
     def _read(self, as_of: int | None = None) -> DataFrame | None:
@@ -74,6 +85,87 @@ class CheckpointedRunner:
             properties={"run_id": rows[0]["run_id"], "shard_id": rows[0]["shard_id"]},
         )
 
+    # -- per-shard column-stat lineage ----------------------------------------
+    def _append_shard_stats(self, run_id, shard_id, res, shard_df, stat_columns, now):
+        from engine import stats as stats_mod
+
+        numeric = set(stats_mod.numeric_columns(shard_df, stat_columns))
+        wide = res.bucket_stats.drop(checks.BUCKET).collect()[0].asDict()
+        rows = []
+
+        def add(col, metric, value=None, hll=None):
+            rows.append(dict(run_id=run_id, shard_id=shard_id, column_name=col,
+                             metric=metric, value=value, hll=hll, updated_at=now))
+
+        for c in stat_columns:
+            add(c, "rows", float(wide["__rows"]))
+            add(c, "nulls", float(wide[f"{c}__nulls"]))
+            add(c, "hll", None, bytes(wide[f"{c}__hll"]))
+            if c in numeric:
+                for m in ("min", "max", "sum", "sumsq"):
+                    v = wide[f"{c}__{m}"]
+                    add(c, m, None if v is None else float(v))
+        df = self.spark.createDataFrame(pd.DataFrame(rows), schema=STATS_SCHEMA)
+        self.stats_table.append(
+            df.coalesce(1), properties={"run_id": run_id, "shard_id": shard_id}
+        )
+
+    def shard_stats(self, run_id: str) -> DataFrame:
+        """Raw per-shard stat PARTIALS for ``run_id`` (lineage granularity),
+        deduped per (shard, column, metric) — partials are deterministic, so
+        rows re-appended by a crash-replayed shard are identical."""
+        df = self.stats_table.read()
+        return (
+            df.filter(F.col("run_id") == run_id)
+            .dropDuplicates(["shard_id", "column_name", "metric"])
+        )
+
+    def stats(self, run_id: str) -> DataFrame:
+        """Global column stats merged EXACTLY from the per-shard partials:
+        ``(column_name, metric, value)`` with the same metrics as
+        engine/stats.py's one-scan path (count, null_count, null_rate,
+        approx_ndv via merged HLL sketches, min, max, mean, stddev) — a
+        resumed/sharded run's stats provably equal an uninterrupted scan."""
+        p = self.shard_stats(run_id)
+        val = lambda m: F.when(F.col("metric") == m, F.col("value"))
+        g = p.groupBy("column_name").agg(
+            F.sum(val("rows")).alias("__rows"),
+            F.sum(val("nulls")).alias("__nulls"),
+            F.min(val("min")).alias("__min"),
+            F.max(val("max")).alias("__max"),
+            F.sum(val("sum")).alias("__sum"),
+            F.sum(val("sumsq")).alias("__sumsq"),
+            F.hll_union_agg(
+                F.when(F.col("metric") == "hll", F.col("hll"))
+            ).alias("__hll"),
+            F.max((F.col("metric") == "min").cast("int")).alias("__is_num"),
+        )
+
+        def metric(m, v):
+            return F.struct(F.lit(m).alias("metric"), v.cast("double").alias("value"))
+
+        rows, nulls = F.col("__rows"), F.col("__nulls")
+        n = rows - nulls
+        mean = F.col("__sum") / n
+        var = F.greatest(F.col("__sumsq") / n - mean * mean, F.lit(0.0))
+        base = F.array(
+            metric("count", rows),
+            metric("null_count", nulls),
+            metric("null_rate", nulls / rows),
+            metric("approx_ndv", F.hll_sketch_estimate(F.col("__hll"))),
+        )
+        num = F.array(
+            metric("min", F.col("__min")),
+            metric("max", F.col("__max")),
+            metric("mean", mean),
+            metric("stddev", F.sqrt(var)),
+        )
+        structs = F.when(F.col("__is_num") == 1, F.concat(base, num)).otherwise(base)
+        return (
+            g.select("column_name", F.explode(structs).alias("s"))
+            .select("column_name", "s.metric", "s.value")
+        )
+
     # -- resumable run -----------------------------------------------------------
     def run(
         self,
@@ -85,6 +177,7 @@ class CheckpointedRunner:
         n_shards: int = 8,
         fail_after: int | None = None,
         shard_storage_path: str | None = None,
+        stat_columns: list[str] | None = None,
     ) -> DataFrame:
         """Validate ``fact`` shard by shard, checkpointing each; returns global
         verdicts identical to an uninterrupted run. ``fail_after`` (tests
@@ -125,11 +218,16 @@ class CheckpointedRunner:
             shard = sharded.filter(F.col("__shard") == s).drop("__shard")
             res = checks.run_suite(
                 shard, suite, key_cols=key_cols, refs=refs or {},
-                n_buckets=1, stat_columns=[],
+                n_buckets=1, stat_columns=stat_columns or [],
             )
             verdicts = res.verdicts.collect()
-            secs = time.time() - t0
             now = pd.Timestamp.utcnow().tz_localize(None)
+            if stat_columns:
+                # stats commit BEFORE the 'done' verdict rows: a crash in
+                # between re-runs the shard, whose deterministic partials
+                # dedupe at read time (stats()/shard_stats()).
+                self._append_shard_stats(run_id, s, res, shard, stat_columns, now)
+            secs = time.time() - t0
             self._append(
                 [
                     dict(run_id=run_id, shard_id=s, status="done",

@@ -147,6 +147,8 @@ def main() -> None:  # pragma: no cover - CLI shim
     ap.add_argument("--run-id", default="cli")
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--shard-storage", help="materialize fact partitioned by shard hash")
+    ap.add_argument("--stat-columns",
+                    help="comma-separated columns to record as per-shard stat lineage")
     ap.add_argument("--drift-fit", help="fit + save a baseline snapshot to this dir")
     ap.add_argument("--drift-check", help="KS/PSI drift check vs a saved baseline")
     args = ap.parse_args()
@@ -175,13 +177,18 @@ def main() -> None:  # pragma: no cover - CLI shim
 
         runner = CheckpointedRunner(spark, args.checkpoint)
         suite = audio_clip_suite()
+        stat_cols = args.stat_columns.split(",") if args.stat_columns else None
         v = runner.run(
             clips, suite, ["clip_id"], refs={"transcripts": transcripts},
             run_id=args.run_id, n_shards=args.shards,
-            shard_storage_path=args.shard_storage,
+            shard_storage_path=args.shard_storage, stat_columns=stat_cols,
         )
         v.orderBy("constraint").show(100, truncate=False)
         runner.lineage(args.run_id).show(100, truncate=False)
+        if stat_cols:
+            runner.stats(args.run_id).orderBy("column_name", "metric").show(
+                100, truncate=False
+            )
         return
 
     res = validate(clips, transcripts, check_audio=True)

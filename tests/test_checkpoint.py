@@ -198,6 +198,50 @@ def test_resumed_verdicts_honor_null_rate(spark, tables, tmp_path):
     assert _verdict_map(merged)["transcript_tolerant"][2] is True  # passed
 
 
+def test_shard_stats_lineage_merges_to_direct_scan(spark, tables, tmp_path):
+    """North rule: per-partition lineage carries STAT METRICS. Per-shard
+    mergeable partials (rows/nulls/min/max/sum/sumsq/HLL) roll up to global
+    column stats equal to a direct one-scan column_stats run — including
+    after a crash + resume (replayed shards' partials dedupe)."""
+    import math
+
+    from engine import stats as stats_mod
+
+    clips, transcripts = tables
+    suite = audio_clip_suite()
+    cols = ["sr_hz", "dur_ms", "codec"]
+
+    runner = CheckpointedRunner(spark, str(tmp_path / "ckpt_stats"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        runner.run(clips, suite, ["clip_id"], refs={"transcripts": transcripts},
+                   run_id="st", n_shards=4, stat_columns=cols, fail_after=2)
+    runner.run(clips, suite, ["clip_id"], refs={"transcripts": transcripts},
+               run_id="st", n_shards=4, stat_columns=cols)
+
+    lineage = runner.shard_stats("st")
+    assert lineage.select("shard_id").distinct().count() == 4
+
+    merged = {
+        (r["column_name"], r["metric"]): r["value"]
+        for r in runner.stats("st").collect()
+    }
+    direct = {
+        (r["column_name"], r["metric"]): r["value"]
+        for r in stats_mod.column_stats(clips, cols).collect()
+    }
+    assert set(merged) == set(direct)
+    for k in direct:
+        a, b = merged[k], direct[k]
+        if a is None or b is None:
+            assert a == b, k
+        elif k[1] == "approx_ndv":
+            # HLL register sets depend on partial grouping; the union is
+            # lossless in registers but estimates differ within sketch error
+            assert math.isclose(a, b, rel_tol=0.02), (k, a, b)
+        else:
+            assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (k, a, b)
+
+
 def test_shard_counts_match_direct_run(spark, tables, tmp_path):
     """Shard-summed verdicts == single-pass run_suite verdicts."""
     from engine import checks
