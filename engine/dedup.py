@@ -243,3 +243,58 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a verified near-duplicate pair graph:
+    ``(node, cluster_id)`` with cluster_id = the component's minimum node id
+    — the step that turns pairwise near-dup evidence into keep-one-per-
+    cluster dedup decisions.
+
+    Iterative min-label propagation, all DataFrame ops: each round every
+    node takes the min label across itself and its neighbors; fixpoint in
+    O(component diameter) rounds. Near-dup components are LSH-bucket-local
+    and shallow (diameter ~2-4), so a handful of rounds suffices; a
+    web-graph-scale variant would switch to large-star/small-star
+    (O(log n) rounds) at the same call site. Per round: one shuffle join +
+    one groupBy on (node) — ``localCheckpoint`` truncates the growing plan
+    lineage so round k does not re-execute rounds 1..k-1. The convergence
+    probe collects ONE scalar per round (the changed-label count).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("label").alias("nb_label"))
+        )
+        stepped = (
+            labels.join(nb, labels["node"] == nb["src"], "left")
+            .select(
+                "node", "label",
+                F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("new_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("new_label") < F.col("label")).count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))

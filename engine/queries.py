@@ -1586,27 +1586,47 @@ def drift_sketch_accuracy_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, ks_within_tolerance boolean")
 
 
-@register(
-    "drift_verdicts_clips",
-    """
-    SELECT * FROM (VALUES
-      ('dur_ms', 'ks', false), ('dur_ms', 'psi', false),
-      ('sr_hz', 'ks', true), ('sr_hz', 'psi', true),
-      ('codec', 'psi_categorical', true)
-    ) t(column_name, metric, passed)
-    """,
-)
-def drift_verdicts_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ground-truth drift verdicts: ONLY dur_ms is perturbed (+25%), so its
-    KS and PSI must trip while sr_hz and the codec mix stay clean — an
-    independently-known expected pattern the sketch pipeline must reproduce."""
-    from engine import drift, synth
+# NOTE (r3): drift_verdicts_clips was retired from the registry — its entire
+# oracle (the ground-truth pass/fail pattern) is strictly contained in
+# drift_report_clips above, which checks the same pipeline's pattern PLUS
+# per-value consistency booleans. Retiring it funded the slot for the
+# near-dup clustering query below (driver window = 50 queries).
 
-    clips = synth.gen_clips(spark, 2000, partitions=8).cache()
-    baseline = drift.fit_baseline(clips, ["dur_ms", "sr_hz"], ["codec"])
-    drifted = clips.withColumn("dur_ms", (F.col("dur_ms") * 1.25).cast("int"))
-    rep = drift.drift_check(drifted, baseline)
-    return spark.createDataFrame(rep).select("column_name", "metric", "passed")
+
+def _near_dup_clusters_oracle_sql() -> str:
+    """Connected components re-derived in pure SQL: transitive closure of the
+    (already oracle-checked) cosine near-dup pair graph via a recursive CTE,
+    component label = min reachable node."""
+    return f"""
+    WITH RECURSIVE cc_pairs AS (
+      SELECT id_a, id_b FROM ({_cosine_near_dup_oracle_sql()})),
+    cc_edges AS (SELECT id_a AS src, id_b AS dst FROM cc_pairs
+                 UNION SELECT id_b, id_a FROM cc_pairs),
+    cc_nodes AS (SELECT DISTINCT src AS node FROM cc_edges),
+    reach(node, label) AS (
+      SELECT node, node FROM cc_nodes
+      UNION
+      SELECT g.src, r.label FROM cc_edges g JOIN reach r ON g.dst = r.node
+    )
+    SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+@register("near_dup_clusters_embeddings", _near_dup_clusters_oracle_sql())
+def near_dup_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: LSH-bucketed cosine pairs -> connected components
+    (iterative min-label propagation, dedup.near_dup_clusters) — the step
+    that turns pairwise near-dup evidence into keep-one-per-cluster
+    decisions. Oracle: transitive closure by recursive CTE over the same
+    (independently oracle-checked) pair graph."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = ann.cosine_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.2, n_planes=8, seed=42, dim=64
+    )
+    return dedup.near_dup_clusters(pairs).select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
 
 
 # ground truth for the COMPLETE validate(check_audio=True) pass: the 7

@@ -304,3 +304,25 @@ def test_simhash_pigeonhole_autobump(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
     assert pairs[0]["hamming_dist"] == true_dist
+
+
+def test_near_dup_clusters_label_propagation(spark):
+    """Connected components over a pair graph: chains, cycles, and isolated
+    pairs each collapse to their min-id label; unrelated components stay
+    apart."""
+    from engine.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {(r["node"], r["cluster_id"]) for r in near_dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
+
+    # a long chain needs multiple propagation rounds (diameter > 1)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 40)], "id_a long, id_b long"
+    )
+    got = {r["cluster_id"] for r in near_dup_clusters(chain).collect()}
+    assert got == {30}
