@@ -112,6 +112,18 @@ class SuiteResult:
     violations_union: DataFrame | None = None  # all row-local violations, one scan
     all_violations: DataFrame | None = None    # every violation source unioned
 
+    def quarantine(self, path: str, mode: str = "overwrite") -> str:
+        """Write every violating row to a quarantine table PARTITIONED BY
+        constraint — the triage output of a validation run: downstream jobs
+        read one constraint's rows with a partition-pruned scan instead of
+        refiltering the fact table, and the violating keys survive the run
+        for exclusion lists / repair queues. One action (the violation
+        sources are already unioned into one plan)."""
+        if self.all_violations is None:
+            raise ValueError("run the full validate() pass first (all_violations unset)")
+        self.all_violations.write.mode(mode).partitionBy("constraint").parquet(path)
+        return path
+
 
 def run_suite(
     df: DataFrame,

@@ -297,6 +297,34 @@ def test_row_invariant_payload_size(spark, fixture_tables):
     assert got == expected
 
 
+def test_quarantine_sink_partition_pruned(result, spark, tmp_path):
+    """Quarantine: every violating row lands in a constraint-partitioned
+    table; reading one constraint partition-prunes and returns exactly the
+    planted keys."""
+    path = result.quarantine(str(tmp_path / "quarantine"))
+    q = spark.read.parquet(path)
+    manifest = synth.plant_manifest(N)
+
+    one = q.filter("constraint = 'sr_hz_domain'")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert sorted(r["clip_id"] for r in one.collect()) == manifest["sr_hz_out_of_domain"]
+
+    # global totals: quarantined rows == verdict violation counts for
+    # row-level constraints; Unique quarantines one row PER DUPLICATE GROUP
+    # (key + key_count — the exclusion-list artifact), while its
+    # violation_count counts excess rows
+    per_c = {r["constraint"]: r["count"] for r in q.groupBy("constraint").count().collect()}
+    n_dup_groups = len(synth.plant_manifest(N)["clip_id_duplicate"])
+    for r in result.verdicts.collect():
+        if r["violation_count"] == 0:
+            continue
+        if r["constraint"] == "clip_id_unique":
+            assert per_c[r["constraint"]] == n_dup_groups
+        else:
+            assert per_c.get(r["constraint"]) == r["violation_count"], r["constraint"]
+
+
 def test_partition_verdicts_sum_to_global(result):
     pv = result.partition_verdicts.groupBy("constraint").sum("violation_count").collect()
     by_c = {r["constraint"]: r["sum(violation_count)"] for r in pv}
