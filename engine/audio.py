@@ -11,9 +11,10 @@ whole Arrow batches; the per-clip numpy work is vectorized C inside the batch.
 Container decode is pure numpy (this sandbox ships no audio libs): a
 canonical-WAV parser plus a real FLAC verbatim-subset decoder with CRC
 verification (engine/flac.py). opus/mp3 plug into the same ``decode`` seam —
-header-validated (Ogg page CRC, MPEG frame sync) then stubbed with
-NotImplementedError; the Spark-side plumbing (schema, batching, join) is
-identical and is what we test.
+the full container STRUCTURE is validated (every Ogg page CRC-32, every MP3
+frame-header hop) before the packet-decode stub raises NotImplementedError;
+the Spark-side plumbing (schema, batching, join) is identical and is what we
+test.
 """
 
 from __future__ import annotations
@@ -59,25 +60,6 @@ def decode_wav_pcm16(b: bytes) -> np.ndarray:
     return np.frombuffer(payload[:data_len], dtype="<i2").astype(np.float32) / np.float32(32768.0)
 
 
-def validate_flac_header(b: bytes) -> None:
-    """FLAC container integrity: 'fLaC' magic + a STREAMINFO first metadata
-    block of the mandatory 34-byte length with a sane sample rate. (The full
-    body decode — engine/flac.py — supersedes this on the decode seam; kept
-    for callers that only have the header window.)"""
-    if b is None or len(b) < 42:
-        raise ValueError("bad_flac_header")
-    if b[:4] != b"fLaC":
-        raise ValueError("bad_flac_header")
-    block_type = b[4] & 0x7F
-    length = int.from_bytes(b[5:8], "big")
-    if block_type != 0 or length != 34:
-        raise ValueError("bad_flac_header")
-    packed = int.from_bytes(b[18:26], "big")
-    sr = packed >> 44
-    if not (1 <= sr <= 655350):
-        raise ValueError("bad_flac_header")
-
-
 def validate_ogg_stream(b) -> None:
     """FULL Ogg chain integrity (upgraded r3 from first-page-only): walk
     every page — 'OggS' magic, version 0, contiguous sequence numbers, one
@@ -85,11 +67,9 @@ def validate_ogg_stream(b) -> None:
     and verify every page's CRC-32 in one vectorized batch
     (engine/oggcrc.py). Opus PACKET decode stays stubbed (no codec libs);
     any structural corruption anywhere in the stream raises."""
-    from engine.oggcrc import crc32_many
+    from engine.oggcrc import as_u8, crc32_many
 
-    mv = memoryview(b) if b is not None else None
-    if mv is not None and mv.format != "B":
-        mv = mv.cast("B")
+    mv = as_u8(b)
     n = len(mv) if mv is not None else 0
     if mv is None or n < 28:
         raise ValueError("bad_ogg_page")
@@ -138,9 +118,9 @@ def validate_mp3_stream(b) -> None:
     at every hop and exact coverage to end-of-payload. Frames carry no CRC,
     so header-chain consistency is the strongest structural check available
     without a real decoder."""
-    mv = memoryview(b) if b is not None else None
-    if mv is not None and mv.format != "B":
-        mv = mv.cast("B")
+    from engine.oggcrc import as_u8
+
+    mv = as_u8(b)
     n = len(mv) if mv is not None else 0
     if mv is None or n < 4:
         raise ValueError("bad_mp3_frame")

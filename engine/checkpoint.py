@@ -90,7 +90,12 @@ class CheckpointedRunner:
         from engine import stats as stats_mod
 
         numeric = set(stats_mod.numeric_columns(shard_df, stat_columns))
-        wide = res.bucket_stats.drop(checks.BUCKET).collect()[0].asDict()
+        collected = res.bucket_stats.drop(checks.BUCKET).collect()
+        # an EMPTY shard (hash bucket with no rows) has no partial row at
+        # all; record zero partials so the lineage stays complete and the
+        # global roll-up is unaffected (null hll rows are skipped — the
+        # union over the other shards is the correct sketch)
+        wide = collected[0].asDict() if collected else {}
         rows = []
 
         def add(col, metric, value=None, hll=None):
@@ -98,12 +103,14 @@ class CheckpointedRunner:
                              metric=metric, value=value, hll=hll, updated_at=now))
 
         for c in stat_columns:
-            add(c, "rows", float(wide["__rows"]))
-            add(c, "nulls", float(wide[f"{c}__nulls"]))
-            add(c, "hll", None, bytes(wide[f"{c}__hll"]))
+            add(c, "rows", float(wide.get("__rows") or 0))
+            add(c, "nulls", float(wide.get(f"{c}__nulls") or 0))
+            sk = wide.get(f"{c}__hll")
+            if sk is not None:
+                add(c, "hll", None, bytes(sk))
             if c in numeric:
                 for m in ("min", "max", "sum", "sumsq"):
-                    v = wide[f"{c}__{m}"]
+                    v = wide.get(f"{c}__{m}")
                     add(c, m, None if v is None else float(v))
         df = self.spark.createDataFrame(pd.DataFrame(rows), schema=STATS_SCHEMA)
         self.stats_table.append(
@@ -221,6 +228,15 @@ class CheckpointedRunner:
                 n_buckets=1, stat_columns=stat_columns or [],
             )
             verdicts = res.verdicts.collect()
+            if not verdicts:
+                # an EMPTY shard produces no verdict rows at all; record
+                # explicit zero-rows for every constraint so the shard is
+                # marked done (otherwise a resume would re-run it forever)
+                verdicts = [
+                    dict(constraint=c.name, violation_count=0, rows_scanned=0,
+                         passed=True)
+                    for c in suite.constraints
+                ]
             now = pd.Timestamp.utcnow().tz_localize(None)
             if stat_columns:
                 # stats commit BEFORE the 'done' verdict rows: a crash in

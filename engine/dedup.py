@@ -279,6 +279,7 @@ def near_dup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nb = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -295,6 +296,16 @@ def near_dup_clusters(
         changed = stepped.filter(F.col("new_label") < F.col("label")).count()
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a label moves ONE hop per round, so a component of diameter >
+        # max_iter would exit here with non-minimal labels — silently wrong
+        # cluster ids are worse than a loud stop (raise max_iter, or switch
+        # to large-star/small-star for genuinely deep graphs)
+        raise ValueError(
+            f"near_dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds it)"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -85,20 +85,11 @@ def crc16_many(chunks: list) -> np.ndarray:
     byte chunks in one vectorized GF(2) tree reduction: leading zero pad is a
     no-op under init=0, so every chunk is front-padded to the same
     power-of-two word count and the whole batch folds as a 2-D array — one
-    numpy call sequence per CLIP instead of per frame (the decode hot path)."""
-    words = []
-    maxlen = 1
-    for c in chunks:
-        b = np.frombuffer(c, dtype=np.uint8)
-        if len(b) % 2:
-            b = np.concatenate([np.zeros(1, dtype=np.uint8), b])
-        w = b.view(">u2").astype(np.uint16)
-        words.append(w)
-        maxlen = max(maxlen, len(w))
-    n2 = 1 << (maxlen - 1).bit_length()
-    mat = np.zeros((len(words), n2), dtype=np.uint16)
-    for i, w in enumerate(words):
-        mat[i, n2 - len(w) :] = w
+    numpy call sequence per CLIP instead of per frame (the decode hot path).
+    Chunk-to-matrix preamble shared with the CRC-32 fold (engine/oggcrc.py)."""
+    from engine.oggcrc import pad_words_matrix
+
+    mat = pad_words_matrix(chunks)
     arr = _adv(0)[mat]  # per-word CRC: R(w) = w * x^16 mod p
     level = 0
     while arr.shape[1] > 1:
@@ -131,7 +122,11 @@ def utf8_encode(n: int) -> bytes:
 
 
 def utf8_decode(b, pos: int) -> tuple[int, int]:
-    """Decode a coded number at ``pos``; returns (value, next_pos)."""
+    """Decode a coded number at ``pos``; returns (value, next_pos). Raises
+    ValueError (never IndexError) on truncation — a malformed clip must stay
+    a per-row violation, not crash the Arrow batch task."""
+    if pos >= len(b):
+        raise ValueError("bad_flac_frame")
     first = b[pos]
     if first < 0x80:
         return first, pos + 1
@@ -140,7 +135,7 @@ def utf8_decode(b, pos: int) -> tuple[int, int]:
     while first & mask:
         nbytes += 1
         mask >>= 1
-    if nbytes < 2 or nbytes > 7:
+    if nbytes < 2 or nbytes > 7 or pos + nbytes > len(b):
         raise ValueError("bad_flac_frame")
     val = first & (0x7F >> nbytes)
     for k in range(1, nbytes):
@@ -201,9 +196,9 @@ def decode(b) -> np.ndarray:
     sample-count mismatch vs STREAMINFO ('bad_flac_frame'). Raises
     NotImplementedError (-> plumbing pass) on valid-but-out-of-subset frames
     (non-verbatim subframes, non-mono, non-16-bit)."""
-    mv = memoryview(b)
-    if mv.format != "B":
-        mv = mv.cast("B")  # pa.Buffer exposes signed bytes ('b'); index unsigned
+    from engine.oggcrc import as_u8
+
+    mv = as_u8(b)  # pa.Buffer exposes signed bytes ('b'); index unsigned
     n = len(mv)
     if n < 42 or bytes(mv[:4]) != b"fLaC":
         raise ValueError("bad_flac_header")
@@ -242,8 +237,13 @@ def decode(b) -> np.ndarray:
     got = 0
     while pos < n:
         fstart = pos
-        if pos + 5 > n or mv[pos] != 0xFF or (mv[pos + 1] & 0xFE) != 0xF8:
-            raise ValueError("bad_flac_frame")
+        if pos + 5 > n or mv[pos] != 0xFF or (mv[pos + 1] & 0xFC) != 0xF8:
+            raise ValueError("bad_flac_frame")  # bad sync / reserved bit set
+        if mv[pos + 1] & 0x01:
+            # variable-blocksize strategy: valid FLAC, outside our subset —
+            # the UTF-8 field is a sample number there, so route to the
+            # plumbing-pass path like every other out-of-subset shape
+            raise NotImplementedError("codec_decoder_missing:flac_subset")
         bs_code = mv[pos + 2] >> 4
         sr_code = mv[pos + 2] & 0x0F
         chan_bps = mv[pos + 3]

@@ -24,6 +24,36 @@ import numpy as np
 POLY = 0x04C11DB7
 
 
+def as_u8(b) -> memoryview | None:
+    """Normalize any buffer to an UNSIGNED byte memoryview: pa.Buffer exposes
+    format 'b' (signed), which breaks integer byte comparisons."""
+    if b is None:
+        return None
+    mv = memoryview(b)
+    return mv.cast("B") if mv.format != "B" else mv
+
+
+def pad_words_matrix(chunks: list) -> np.ndarray:
+    """Shared CRC-fold preamble: each byte chunk front-padded to an even
+    length (leading zeros are a no-op under init=0), viewed as big-endian
+    16-bit words, front-padded again to one power-of-two width, stacked into
+    a 2-D uint16 matrix for the tree reduction."""
+    words = []
+    maxlen = 1
+    for c in chunks:
+        b = np.frombuffer(c, dtype=np.uint8)
+        if len(b) % 2:
+            b = np.concatenate([np.zeros(1, dtype=np.uint8), b])
+        w = b.view(">u2").astype(np.uint16)
+        words.append(w)
+        maxlen = max(maxlen, len(w))
+    n2 = 1 << (maxlen - 1).bit_length()
+    mat = np.zeros((len(words), n2), dtype=np.uint16)
+    for i, w in enumerate(words):
+        mat[i, n2 - len(w) :] = w
+    return mat
+
+
 def _build_w32() -> np.ndarray:
     """W32[v] = v * x^32 mod p (uint32): the CRC of one 16-bit word."""
     r = np.arange(65536, dtype=np.uint64)
@@ -55,19 +85,7 @@ def _adv(level: int) -> tuple[np.ndarray, np.ndarray]:
 def crc32_many(chunks: list) -> np.ndarray:
     """Ogg CRC-32 of several byte chunks in one 2-D tree reduction
     (front-padding with zeros is a no-op under init=0)."""
-    words = []
-    maxlen = 1
-    for c in chunks:
-        b = np.frombuffer(c, dtype=np.uint8)
-        if len(b) % 2:
-            b = np.concatenate([np.zeros(1, dtype=np.uint8), b])
-        w = b.view(">u2").astype(np.uint16)
-        words.append(w)
-        maxlen = max(maxlen, len(w))
-    n2 = 1 << (maxlen - 1).bit_length()
-    mat = np.zeros((len(words), n2), dtype=np.uint16)
-    for i, w in enumerate(words):
-        mat[i, n2 - len(w) :] = w
+    mat = pad_words_matrix(chunks)
     w32 = _adv(0)[0]
     arr = w32[mat]  # per-word CRC contribution
     level = 0

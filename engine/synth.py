@@ -111,15 +111,6 @@ def wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
     return hdr + data
 
 
-def flac_bytes(sr: int, n_samples: int, body: bytes) -> bytes:
-    """Legacy opaque-body FLAC container (header-validation tests only).
-    Fixture flac clips carry REAL verbatim frames since round 3 — see
-    engine/flac.py and the flac branch of ``_gen_rows``."""
-    from engine import flac as flac_mod
-
-    return flac_mod.streaminfo(sr, n_samples) + body
-
-
 def _ogg_crc_table() -> list[int]:
     table = []
     for i in range(256):

@@ -257,3 +257,22 @@ def test_shard_counts_match_direct_run(spark, tables, tmp_path):
                          refs={"transcripts": transcripts}, run_id="x",
                          n_shards=4)
     assert _verdict_map(sharded) == _verdict_map(direct.verdicts)
+
+
+def test_shard_stats_with_empty_shards(spark, tmp_path):
+    """Regression (r3 review): n_shards exceeding the key spread leaves some
+    hash buckets EMPTY — the stats lineage must record zero partials for
+    them instead of crashing the run."""
+    from engine import stats as stats_mod
+    from engine.suite import ConstraintSuite, NotNull
+
+    tiny = spark.createDataFrame(
+        [(f"k{i}", i * 10) for i in range(3)], "clip_id string, dur_ms int"
+    )
+    suite = ConstraintSuite().add(NotNull("id_nn", column="clip_id"))
+    runner = CheckpointedRunner(spark, str(tmp_path / "ckpt_tiny"))
+    runner.run(tiny, suite, ["clip_id"], run_id="tiny", n_shards=16,
+               stat_columns=["dur_ms"])
+    assert runner.shard_stats("tiny").select("shard_id").distinct().count() == 16
+    merged = {r["metric"]: r["value"] for r in runner.stats("tiny").collect()}
+    assert merged["count"] == 3.0 and merged["min"] == 0.0 and merged["max"] == 20.0

@@ -125,3 +125,32 @@ def test_wav_container_sr_chunk_walk():
     padded = canonical[:12] + junk + canonical[12:]
     assert audio.container_sr(padded[:256], "wav") == 22050
     assert audio.container_sr(b"\x00" * 64, "wav") is None
+
+
+def test_truncation_at_frame_number_is_valueerror():
+    """Regression (r3 review): truncating right after a multi-byte frame
+    number lead byte must raise ValueError, never IndexError — an IndexError
+    would escape the audio UDF's per-row exception contract and kill the
+    whole Spark task."""
+    pcm = np.zeros(2000, dtype=np.int16)
+    b = flac.encode(pcm, 8000)
+    # cut inside the first frame header (after sync + codes, at the frame
+    # number position) and also force a multi-byte-looking lead byte
+    for cut in range(43, 52):
+        with pytest.raises(ValueError):
+            flac.decode(b[:cut])
+    ba = bytearray(b[:47])
+    ba[46] = 0xC0  # lead byte announcing a continuation that isn't there
+    with pytest.raises(ValueError):
+        flac.decode(bytes(ba))
+
+
+def test_variable_blocksize_routes_to_stub():
+    """Valid-but-out-of-subset frames (variable-blocksize strategy) must hit
+    the documented plumbing-pass path, not be decoded under fixed-blocksize
+    assumptions."""
+    pcm = np.zeros(2000, dtype=np.int16)
+    ba = bytearray(flac.encode(pcm, 8000))
+    ba[43] |= 0x01  # blocking-strategy bit of the first frame header
+    with pytest.raises(NotImplementedError, match="flac_subset"):
+        flac.decode(bytes(ba))

@@ -326,3 +326,15 @@ def test_near_dup_clusters_label_propagation(spark):
     )
     got = {r["cluster_id"] for r in near_dup_clusters(chain).collect()}
     assert got == {30}
+
+
+def test_near_dup_clusters_raises_on_nonconvergence(spark):
+    """Regression (r3 review): a component deeper than max_iter rounds must
+    raise loudly instead of returning silently wrong cluster labels."""
+    from engine.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50, 60)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        near_dup_clusters(chain, max_iter=3)
