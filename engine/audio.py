@@ -56,8 +56,14 @@ def decode_wav_pcm16(b: bytes) -> np.ndarray:
     if len(payload) < data_len:
         raise ValueError("truncated_payload")
     # float32: PCM16 fits exactly, and the decode output is the other half of
-    # the invariant pass's memory traffic (see clean_pcm32)
-    return np.frombuffer(payload[:data_len], dtype="<i2").astype(np.float32) / np.float32(32768.0)
+    # the invariant pass's memory traffic (see clean_pcm32). One fused
+    # multiply (scale by an exact power of two — bit-identical to
+    # astype + divide) instead of two temporaries.
+    return np.multiply(
+        np.frombuffer(payload[:data_len], dtype="<i2"),
+        np.float32(1.0 / 32768.0),
+        dtype=np.float32,
+    )
 
 
 def validate_ogg_stream(b) -> None:
@@ -67,7 +73,22 @@ def validate_ogg_stream(b) -> None:
     and verify every page's CRC-32 in one vectorized batch
     (engine/oggcrc.py). Opus PACKET decode stays stubbed (no codec libs);
     any structural corruption anywhere in the stream raises."""
-    from engine.oggcrc import as_u8, crc32_many
+    from engine.oggcrc import crc32_many
+
+    pages, stored, _ = walk_ogg_pages(b)
+    crcs = crc32_many(pages)
+    for c, s in zip(crcs, stored):
+        if int(c) != s:
+            raise ValueError("bad_ogg_page")
+
+
+def walk_ogg_pages(b) -> tuple[list[bytes], list[int], list[bytes]]:
+    """The structural page walk of ``validate_ogg_stream`` with the CRC-32
+    verification DEFERRED: returns (crc_zeroed_pages, stored_crcs,
+    page_payloads) so a batch caller can fold every page of every clip into
+    one tree reduction, and so container decoders (Ogg-FLAC) can reassemble
+    the packet stream. All structural checks still raise here."""
+    from engine.oggcrc import as_u8
 
     mv = as_u8(b)
     n = len(mv) if mv is not None else 0
@@ -76,7 +97,9 @@ def validate_ogg_stream(b) -> None:
     pos = 0
     idx = 0
     serial = None
-    pages: list[tuple[bytes, int]] = []  # (crc-zeroed page bytes, stored crc)
+    pages: list[bytes] = []       # crc-zeroed page bytes
+    storeds: list[int] = []       # stored crc32 per page
+    payloads: list[bytes] = []    # page payload (packet data) per page
     last_type = 0
     while pos < n:
         if pos + 27 > n or bytes(mv[pos : pos + 4]) != b"OggS" or mv[pos + 4] != 0:
@@ -89,6 +112,24 @@ def validate_ogg_stream(b) -> None:
         if serial is None:
             serial = pser
         if pser != serial or pseq != idx:
+            # a serial/sequence discontinuity that is itself a WELL-FORMED
+            # BOS page (new serial, seq 0, CRC verifies) starts a legal
+            # chained/multiplexed Ogg stream — valid-but-out-of-subset for
+            # this single-link walker -> plumbing pass, not a violation
+            # (ADVICE r3; same contract as flac.py out-of-subset)
+            if (htype & 0x02) and pseq == 0:
+                n_segs = mv[pos + 26]
+                plen = 27 + n_segs + sum(mv[pos + 27 : pos + 27 + n_segs])
+                if pos + plen <= n:
+                    from engine.oggcrc import crc32
+
+                    stored = struct.unpack("<I", mv[pos + 22 : pos + 26])[0]
+                    pg = bytearray(mv[pos : pos + plen])
+                    pg[22:26] = b"\x00\x00\x00\x00"
+                    if crc32(bytes(pg)) == stored:
+                        raise NotImplementedError(
+                            "codec_decoder_missing:ogg_chained"
+                        )
             raise ValueError("bad_ogg_page")
         n_segs = mv[pos + 26]
         if pos + 27 + n_segs > n:
@@ -99,16 +140,15 @@ def validate_ogg_stream(b) -> None:
         stored = struct.unpack("<I", mv[pos + 22 : pos + 26])[0]
         page = bytearray(mv[pos : pos + page_len])
         page[22:26] = b"\x00\x00\x00\x00"
-        pages.append((bytes(page), stored))
+        pages.append(bytes(page))
+        storeds.append(stored)
+        payloads.append(bytes(mv[pos + 27 + n_segs : pos + page_len]))
         last_type = htype
         pos += page_len
         idx += 1
     if not (last_type & 0x04):                      # last page must be EOS
         raise ValueError("bad_ogg_page")
-    crcs = crc32_many([p for p, _ in pages])
-    for c, (_, stored) in zip(crcs, pages):
-        if int(c) != stored:
-            raise ValueError("bad_ogg_page")
+    return pages, storeds, payloads
 
 
 def validate_mp3_stream(b) -> None:
@@ -138,8 +178,16 @@ def validate_mp3_stream(b) -> None:
         layer = (b1 >> 1) & 0x03
         bitrate_idx = (b2 >> 4) & 0x0F
         sr_idx = (b2 >> 2) & 0x03
-        if version != 3 or layer != 1 or bitrate_idx in (0, 0x0F) or sr_idx == 3:
-            raise ValueError("bad_mp3_frame")      # MPEG-1 Layer III only
+        # reserved field values are never legal in ANY MPEG stream ->
+        # structural corruption -> violation
+        if version == 1 or layer == 0 or bitrate_idx == 0x0F or sr_idx == 3:
+            raise ValueError("bad_mp3_frame")
+        # valid-but-out-of-subset shapes (MPEG-2/2.5, Layer I/II, free-format
+        # bitrate): legal audio this walker cannot hop (frame-length tables /
+        # free-format sizing not implemented) -> plumbing pass, same contract
+        # as flac.py's out-of-subset route (ADVICE r3)
+        if version != 3 or layer != 1 or bitrate_idx == 0:
+            raise NotImplementedError("codec_decoder_missing:mp3_subset")
         flen = mp3_frame_len(b1, b2)
         if flen <= 4 or pos + flen > n:
             raise ValueError("bad_mp3_frame")
@@ -214,6 +262,29 @@ def decode(b: bytes, codec: str | None) -> np.ndarray:
     raise NotImplementedError(f"codec_decoder_missing:{codec}")
 
 
+def _decode_for_batch(b, codec: str | None):
+    """``decode`` with the CRC verification DEFERRED for batch folding:
+    returns (pcm_or_None, deferred) where pcm None means
+    structure-validated-but-undecodable (packet decoder missing -> stub
+    pass) and ``deferred`` lists ('flac'|'ogg', chunks, stored_crcs) still
+    awaiting batched CRC verification. Structural errors raise exactly like
+    ``decode``."""
+    if codec in (None, "pcm_s16le", "wav"):
+        return decode_wav_pcm16(b), ()
+    if codec == "flac":
+        from engine import flac as flac_mod
+
+        pcm, frames, stored = flac_mod.parse(b)
+        return pcm, (("flac", frames, stored),)
+    if codec == "opus":
+        pages, stored, _ = walk_ogg_pages(b)
+        return None, (("ogg", pages, stored),)
+    if codec == "mp3":
+        validate_mp3_stream(b)
+        return None, ()
+    raise NotImplementedError(f"codec_decoder_missing:{codec}")
+
+
 def snr_db(expected: np.ndarray, actual: np.ndarray) -> float:
     """SNR of actual vs expected, dB. Length mismatch → compare common prefix
     but penalize missing energy as noise."""
@@ -236,14 +307,40 @@ def snr_db(expected: np.ndarray, actual: np.ndarray) -> float:
     return 10.0 * np.log10(sig / noise)
 
 
-def _default_expected(clip_id: str, sr: int, dur_ms: int) -> np.ndarray:
+class FixtureExpected:
     """Expected clean signal for fixture clips: re-synthesized from the id
-    (synth.clean_pcm32 — float32: half the memory traffic of the float64
+    (synth.wave32 — float32: half the memory traffic of the float64
     generator path, ~-140 dB from it, irrelevant at the 30 dB threshold).
-    Production deployments swap in a reference decode."""
-    i = int(clip_id.split("_")[1])
-    sig = synth.clean_pcm32(i, sr, max(dur_ms, 200))
-    return sig * np.float32(32000.0 * 0.9 / 32768.0)  # generator's int16 scale
+    Production deployments swap in a reference decode.
+
+    Implements the optional batch seam ``prepare(clip_ids, srs, durs)``:
+    the per-clip rng params (f1, phase) are derived for the WHOLE Arrow
+    batch in one vectorized pass (engine/fastrng.py — the per-clip
+    SeedSequence+Generator construction was ~50 us/clip, the largest line
+    in the UDF profile). ``__call__`` keeps the one-clip path for callers
+    outside the batch loop."""
+
+    _SCALE = np.float32(32000.0 * 0.9 / 32768.0)  # generator's int16 scale
+
+    def prepare(self, clip_ids, srs, durs):
+        ids = np.fromiter(
+            (int(c.rsplit("_", 1)[1]) for c in clip_ids), np.int64, len(clip_ids)
+        )
+        f1, phase = synth.clip_params_batch(ids)
+
+        def row(j: int) -> np.ndarray:
+            sr = int(srs[j])
+            n_samp = min(int(sr * max(int(durs[j]), 200) / 1000), 200_000)
+            return synth.wave32(f1[j], phase[j], sr, n_samp) * self._SCALE
+
+        return row
+
+    def __call__(self, clip_id: str, sr: int, dur_ms: int) -> np.ndarray:
+        i = int(clip_id.split("_")[1])
+        return synth.clean_pcm32(i, sr, max(dur_ms, 200)) * self._SCALE
+
+
+_default_expected = FixtureExpected()
 
 def audio_invariants(
     clips: DataFrame,
@@ -300,61 +397,7 @@ def audio_invariants(
     # object per row (~5s / 250k clips just objectifying the payloads);
     # Arrow batches give zero-copy pa.Buffer views into the payload column
     def check(batches):
-        import pyarrow as pa
-
-        for rb in batches:
-            n = rb.num_rows
-            col = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
-            blob = col["bytes"]
-            clip_ids = col["clip_id"].to_pylist()
-            codecs = col["codec"].to_pylist()
-            srs = col["sr_hz"].to_numpy(zero_copy_only=False)
-            durs = col["dur_ms"].to_numpy(zero_copy_only=False)
-
-            bytes_null = np.zeros(n, dtype=bool)
-            pcm_ok = np.zeros(n, dtype=bool)
-            meta_sr_ok = np.ones(n, dtype=bool)
-            snrs = np.full(n, np.nan)
-            errs: list[str | None] = [None] * n
-            for j in range(n):
-                if not blob[j].is_valid:
-                    bytes_null[j] = True
-                    errs[j] = "short_or_null_payload"
-                    continue
-                buf = blob[j].as_buffer()
-                try:
-                    actual = decode(buf, codecs[j])
-                    exp = expected_fn(clip_ids[j], int(srs[j]), int(durs[j]))
-                    s = snr_db(exp, actual)
-                    snrs[j] = s
-                    pcm_ok[j] = s >= snr_min_db
-                except NotImplementedError:
-                    # undecodable codec in this image: plumbing-verified, treat
-                    # as pass so domain checks (not decoder gaps) drive verdicts
-                    pcm_ok[j] = True
-                    errs[j] = "codec_decoder_missing"
-                except ValueError as e:
-                    pcm_ok[j] = False
-                    errs[j] = str(e)
-                # cross-field metadata invariant: the sample rate the CONTAINER
-                # declares must equal the sr_hz column (None = container parses
-                # clean but carries no comparable rate, or is already flagged
-                # malformed by the header validators)
-                csr = container_sr(bytes(memoryview(buf)[:256]), codecs[j])
-                meta_sr_ok[j] = csr is None or csr == int(srs[j])
-            yield pa.RecordBatch.from_arrays(
-                [
-                    col["clip_id"],
-                    col["bucket_id"],
-                    pa.array(bytes_null),
-                    pa.array(pcm_ok),
-                    pa.array(meta_sr_ok),
-                    pa.array(snrs),
-                    pa.array(errs, type=pa.string()),
-                ],
-                names=["clip_id", "bucket_id", "bytes_null", "pcm_ok",
-                       "meta_sr_ok", "snr_db", "decode_error"],
-            )
+        yield from invariant_batches(batches, expected_fn, snr_min_db)
 
     pcm_res = pcm_in.mapInArrow(
         check,
@@ -368,3 +411,125 @@ def audio_invariants(
         F.coalesce("transcript_ok", F.lit(False)).alias("transcript_ok"),
         "decode_error",
     )
+
+
+def invariant_batches(batches, expected_fn, snr_min_db):
+    """The mapInArrow body of ``audio_invariants``, module-level so tests and
+    profilers can drive it directly on raw Arrow batches.
+
+    CRC verification is BATCH-FOLDED: the structural walks collect every
+    FLAC frame and every Ogg page of the whole Arrow batch, and two tree
+    reductions (crc16_many / crc32_many) verify them all at once — one numpy
+    call sequence per ~10k clips instead of per clip (the per-clip fixed
+    cost of the GF(2) fold was the second-largest profile line). A CRC
+    mismatch then overrides that row to the same violation it would have
+    raised inline ('bad_flac_frame' / 'bad_ogg_page', pcm_ok=False,
+    snr=NaN)."""
+    import pyarrow as pa
+
+    from engine.flac import crc16_many
+    from engine.oggcrc import crc32_many
+
+    for rb in batches:
+        n = rb.num_rows
+        col = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+        blob = col["bytes"]
+        clip_ids = col["clip_id"].to_pylist()
+        codecs = col["codec"].to_pylist()
+        srs = col["sr_hz"].to_numpy(zero_copy_only=False)
+        durs = col["dur_ms"].to_numpy(zero_copy_only=False)
+
+        row_expected = None
+        prep = getattr(expected_fn, "prepare", None)
+        if prep is not None:
+            try:
+                row_expected = prep(clip_ids, srs, durs)
+            except Exception:
+                row_expected = None  # e.g. unparseable ids -> per-row path
+        if row_expected is None:
+            def row_expected(j):
+                return expected_fn(clip_ids[j], int(srs[j]), int(durs[j]))
+
+        bytes_null = np.zeros(n, dtype=bool)
+        pcm_ok = np.zeros(n, dtype=bool)
+        meta_sr_ok = np.ones(n, dtype=bool)
+        snrs = np.full(n, np.nan)
+        errs: list[str | None] = [None] * n
+        # deferred CRC pools, folded once per batch
+        flac_frames: list = []
+        flac_stored: list[int] = []
+        flac_rows: list[int] = []
+        ogg_pages: list = []
+        ogg_stored: list[int] = []
+        ogg_rows: list[int] = []
+        for j in range(n):
+            if not blob[j].is_valid:
+                bytes_null[j] = True
+                errs[j] = "short_or_null_payload"
+                continue
+            buf = blob[j].as_buffer()
+            try:
+                actual, deferred = _decode_for_batch(buf, codecs[j])
+                for kind, chunks, stored in deferred:
+                    if kind == "flac":
+                        flac_frames.extend(chunks)
+                        flac_stored.extend(stored)
+                        flac_rows.extend([j] * len(chunks))
+                    else:
+                        ogg_pages.extend(chunks)
+                        ogg_stored.extend(stored)
+                        ogg_rows.extend([j] * len(chunks))
+                if actual is None:
+                    # structure-validated, packet decoder missing in this
+                    # image: plumbing-verified, treat as pass so domain
+                    # checks (not decoder gaps) drive verdicts — unless a
+                    # deferred page CRC flips it below
+                    pcm_ok[j] = True
+                    errs[j] = "codec_decoder_missing"
+                else:
+                    exp = row_expected(j)
+                    s = snr_db(exp, actual)
+                    snrs[j] = s
+                    pcm_ok[j] = s >= snr_min_db
+            except NotImplementedError:
+                pcm_ok[j] = True
+                errs[j] = "codec_decoder_missing"
+            except ValueError as e:
+                pcm_ok[j] = False
+                errs[j] = str(e)
+            # cross-field metadata invariant: the sample rate the CONTAINER
+            # declares must equal the sr_hz column (None = container parses
+            # clean but carries no comparable rate, or is already flagged
+            # malformed by the header validators)
+            csr = container_sr(bytes(memoryview(buf)[:256]), codecs[j])
+            meta_sr_ok[j] = csr is None or csr == int(srs[j])
+        # batched CRC verdicts: any failed chunk demotes its row to the same
+        # violation the inline path raised (page CRC outranks frame CRC,
+        # matching the old check order: pages were verified before decode)
+        for chunks, stored, rows, crc_fn, err in (
+            (flac_frames, flac_stored, flac_rows, crc16_many, "bad_flac_frame"),
+            (ogg_pages, ogg_stored, ogg_rows, crc32_many, "bad_ogg_page"),
+        ):
+            if not chunks:
+                continue
+            got = crc_fn(chunks)
+            bad = got != np.asarray(stored, dtype=got.dtype)
+            if bad.any():
+                for j in np.unique(np.asarray(rows)[bad]):
+                    j = int(j)
+                    pcm_ok[j] = False
+                    errs[j] = err
+                    snrs[j] = np.nan
+        yield pa.RecordBatch.from_arrays(
+            [
+                col["clip_id"],
+                col["bucket_id"],
+                pa.array(bytes_null),
+                pa.array(pcm_ok),
+                pa.array(meta_sr_ok),
+                pa.array(snrs),
+                pa.array(errs, type=pa.string()),
+            ],
+            names=["clip_id", "bucket_id", "bytes_null", "pcm_ok",
+                   "meta_sr_ok", "snr_db", "decode_error"],
+        )

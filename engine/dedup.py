@@ -309,3 +309,93 @@ def near_dup_clusters(
             "rounds (component diameter exceeds it)"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters_twophase(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round variant of ``near_dup_clusters`` for graphs whose
+    diameter can be deep (one boilerplate chain at web scale), where
+    min-label's O(diameter) rounds would abort.
+
+    Same signature and output contract as ``near_dup_clusters``:
+    ``(node, cluster_id)`` with cluster_id = the component's minimum node id
+    (min under the column's natural ordering, so string ids cluster under the
+    lexicographic min exactly like the min-label variant).
+
+      * large-star(u): every neighbor v > u re-attaches to
+        m = min(N(u) ∪ {u}) — halves long chains.
+      * small-star(u): over min-canonicalized edges (u > v), every neighbor
+        and u itself attach to m = min(N<(u) ∪ {u}).
+
+    Per round: two groupBy shuffles + two joins on node id; the edge set
+    shrinks toward one star per component, at which point the edge list IS
+    the (node -> cluster_id) mapping. Fixpoint detection is EXACT (same-count
+    + empty set-difference on the canonical edge set), not a checksum, and
+    non-convergence still raises rather than returning wrong labels.
+    ``localCheckpoint`` truncates plan lineage each round like the min-label
+    loop."""
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star over the bidirectional adjacency
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m")
+        )
+        large = (
+            bidir.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # ---- small-star over min-canonicalized (u > v) edges
+        ec = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = ec.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ec.join(mins2, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # exact fixpoint test: both sides are distinct sets, so equal counts
+        # plus one empty difference proves set equality
+        if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
+            e = small
+            converged = True
+            break
+        e = small
+    if not converged:
+        raise ValueError(
+            f"near_dup_clusters_twophase did not converge within "
+            f"max_iter={max_iter} rounds"
+        )
+    # at fixpoint every component is a star rooted at its min node: the edge
+    # list is (child, root); roots label themselves
+    roots = e.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    return e.select(
+        F.col("u").alias("node"), F.col("v").alias("cluster_id")
+    ).unionByName(roots)

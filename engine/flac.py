@@ -196,11 +196,29 @@ def decode(b) -> np.ndarray:
     sample-count mismatch vs STREAMINFO ('bad_flac_frame'). Raises
     NotImplementedError (-> plumbing pass) on valid-but-out-of-subset frames
     (non-verbatim subframes, non-mono, non-16-bit)."""
+    pcm, frames, stored = parse(b)
+    crcs = crc16_many([f for f in frames])
+    for c, s in zip(crcs, stored):
+        if int(c) != s:
+            raise ValueError("bad_flac_frame")
+    return pcm
+
+
+def parse(b) -> tuple[np.ndarray, list, list[int]]:
+    """``decode`` minus the frame CRC-16 verification: returns
+    (pcm_float32, frame_bytes, stored_crc16s) so a caller holding MANY clips
+    can fold every frame of every clip into ONE batched tree reduction
+    (audio.invariant_batches) instead of one numpy call sequence per clip.
+    All structural checks (magic, STREAMINFO, sync, header CRC-8, sample
+    count) still raise here."""
     from engine.oggcrc import as_u8
 
     mv = as_u8(b)  # pa.Buffer exposes signed bytes ('b'); index unsigned
-    n = len(mv)
-    if n < 42 or bytes(mv[:4]) != b"fLaC":
+    # None guard mirrors decode_wav_pcm16 / the opus-mp3 validators: a null
+    # payload must be a per-row ValueError violation, never a TypeError that
+    # escapes the batch task (ADVICE r3)
+    n = len(mv) if mv is not None else 0
+    if mv is None or n < 42 or bytes(mv[:4]) != b"fLaC":
         raise ValueError("bad_flac_header")
     # walk metadata blocks; the first MUST be STREAMINFO (34 bytes)
     pos = 4
@@ -286,10 +304,8 @@ def decode(b) -> np.ndarray:
         raise ValueError("bad_flac_frame")
     if not chunks:
         raise ValueError("bad_flac_frame")
-    # all frame CRC-16s in ONE batched tree reduction (hot-path cost lever)
-    crcs = crc16_many([f for f, _ in frames])
-    for c, (_, stored) in zip(crcs, frames):
-        if int(c) != stored:
-            raise ValueError("bad_flac_frame")
     pcm = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-    return pcm.astype(np.float32) / np.float32(32768.0)
+    # one fused pass: int16 -> float32 scale by the exact power of two
+    # (bit-identical to astype + divide, half the temporaries)
+    pcm32 = np.multiply(pcm, np.float32(1.0 / 32768.0), dtype=np.float32)
+    return pcm32, [f for f, _ in frames], [s for _, s in frames]

@@ -336,8 +336,11 @@ def row_invariant_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantile_threshold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     thr = ev.agg(F.percentile("value", F.lit(0.99)).alias("thr"))
+    # explicit broadcast of the 1-row aggregate: Catalyst would usually pick
+    # BroadcastNestedLoopJoin on its own, but the hint pins the plan (no
+    # cartesian fallback if stats estimation ever changes)
     return (
-        ev.crossJoin(thr)
+        ev.crossJoin(F.broadcast(thr))
         .agg(
             F.round(F.first("thr"), 6).alias("threshold"),
             F.sum(F.when(F.col("value") >= F.col("thr"), 1).otherwise(0)).alias("n_above"),

@@ -217,6 +217,38 @@ def container_bytes(codec: str, i: int, sr: int, n_samples: int) -> bytes:
     return mp3_bytes(body)
 
 
+def clip_params_batch(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(f1, phase) for a VECTOR of clip ids — bit-exact with
+    ``_rng(i).random()`` x2 (engine/fastrng.py replays SeedSequence+PCG64 in
+    batched numpy; pinned by test). The validation UDF's per-clip Generator
+    construction was its single largest profile line (~50 us/clip); this is
+    ~2.6 us/clip."""
+    from engine.fastrng import first_doubles
+
+    d1, d2 = first_doubles(SEED, ids, 2)
+    return 80.0 + 400.0 * d1, 2 * np.pi * d2
+
+
+_RAMP32 = np.arange(200_000, dtype=np.float32)  # == the generator's sample cap
+
+
+def wave32(f1: float, phase: float, sr: int, n_samp: int) -> np.ndarray:
+    """float32 2-harmonic wave given pre-drawn params (clean_pcm32 body)."""
+    if n_samp <= len(_RAMP32):
+        a = _RAMP32[:n_samp] * np.float32((2 * np.pi * f1) / sr)
+    else:
+        a = np.arange(n_samp, dtype=np.float32)
+        a *= np.float32((2 * np.pi * f1) / sr)
+    b = a * np.float32(2.0)
+    a += np.float32(phase)
+    np.sin(a, out=a)
+    np.sin(b, out=b)
+    a *= np.float32(0.6)
+    b *= np.float32(0.25)
+    a += b
+    return a
+
+
 def clean_pcm32(i: int, sr: int, dur_ms: int, max_samples: int = 200_000) -> np.ndarray:
     """float32 variant of clean_pcm for the VALIDATION side (engine/audio.py):
     same seeded params, half the memory traffic and SIMD-friendlier sin — the
@@ -229,16 +261,7 @@ def clean_pcm32(i: int, sr: int, dur_ms: int, max_samples: int = 200_000) -> np.
     n_samp = min(int(sr * dur_ms / 1000), max_samples)
     f1 = 80.0 + 400.0 * rng.random()
     phase = 2 * np.pi * rng.random()
-    a = np.arange(n_samp, dtype=np.float32)
-    a *= np.float32((2 * np.pi * f1) / sr)
-    b = a * np.float32(2.0)
-    a += np.float32(phase)
-    np.sin(a, out=a)
-    np.sin(b, out=b)
-    a *= np.float32(0.6)
-    b *= np.float32(0.25)
-    a += b
-    return a
+    return wave32(f1, phase, sr, n_samp)
 
 
 def clean_pcm(i: int, sr: int, dur_ms: int, max_samples: int = 200_000) -> np.ndarray:

@@ -80,3 +80,65 @@ def test_validators_accept_arrow_signed_buffers():
         buf = pa.array([b], type=pa.binary())[0].as_buffer()
         with pytest.raises(NotImplementedError):
             audio.decode(buf, codec)  # structure valid -> packet stub raises
+
+
+def test_mp3_out_of_subset_shapes_route_to_not_implemented():
+    """Valid-but-unsupported MPEG shapes are a plumbing pass (ADVICE r3):
+    MPEG-2/2.5 versions, Layer I/II, free-format bitrate. Reserved field
+    values stay structural corruption."""
+    body = b"\x03" * 2000
+    b = bytearray(mp3_bytes(body))
+    # MPEG-2 (version bits 10), Layer III: b1 = 0xFF F3
+    b2 = bytes([0xFF, 0xF3]) + bytes(b[2:])
+    with pytest.raises(NotImplementedError, match="mp3_subset"):
+        audio.validate_mp3_stream(b2)
+    # MPEG-1 Layer II: b1 = 0xFF FD
+    b3 = bytes([0xFF, 0xFD]) + bytes(b[2:])
+    with pytest.raises(NotImplementedError, match="mp3_subset"):
+        audio.validate_mp3_stream(b3)
+    # free-format bitrate (idx 0): b2 high nibble 0
+    b4 = bytes(b[:2]) + bytes([b[2] & 0x0F]) + bytes(b[3:])
+    with pytest.raises(NotImplementedError, match="mp3_subset"):
+        audio.validate_mp3_stream(b4)
+    # reserved values are corruption, not a subset gap
+    b5 = bytes([0xFF, 0xF9]) + bytes(b[2:])   # version bits 01 = reserved
+    with pytest.raises(ValueError, match="bad_mp3_frame"):
+        audio.validate_mp3_stream(b5)
+    b6 = bytes([0xFF, 0xF1]) + bytes(b[2:])   # layer bits 00 = reserved
+    with pytest.raises(ValueError, match="bad_mp3_frame"):
+        audio.validate_mp3_stream(b6)
+    b7 = bytes(b[:2]) + bytes([(b[2] & 0x0F) | 0xF0]) + bytes(b[3:])  # bitrate 0xF
+    with pytest.raises(ValueError, match="bad_mp3_frame"):
+        audio.validate_mp3_stream(b7)
+
+
+def test_ogg_chained_stream_routes_to_not_implemented():
+    """A serial/sequence discontinuity that is itself a well-formed BOS page
+    (start of a legal chained Ogg stream) is out-of-subset, not corruption
+    (ADVICE r3). A discontinuity that is NOT a clean BOS stays a violation."""
+    body = b"\x04" * 3000
+    link1 = ogg_opus_bytes(8000, body)
+    link2 = ogg_opus_bytes(8000, body)
+    with pytest.raises(NotImplementedError, match="ogg_chained"):
+        audio.validate_ogg_stream(link1 + link2)
+    # chained link under a DIFFERENT serial (the spec-typical shape)
+    orig = synth.OGG_SERIAL
+    try:
+        synth.OGG_SERIAL = orig + 1
+        link2b = ogg_opus_bytes(8000, body)
+    finally:
+        synth.OGG_SERIAL = orig
+    with pytest.raises(NotImplementedError, match="ogg_chained"):
+        audio.validate_ogg_stream(link1 + link2b)
+    # a BOS page whose CRC does not verify is corruption, not a chain
+    bad = bytearray(link1 + link2b)
+    bad[len(link1) + 30] ^= 0xA5  # inside the chained BOS page
+    with pytest.raises(ValueError, match="bad_ogg_page"):
+        audio.validate_ogg_stream(bytes(bad))
+
+
+def test_flac_decode_none_is_value_error():
+    from engine import flac as flac_mod
+
+    with pytest.raises(ValueError, match="bad_flac_header"):
+        flac_mod.decode(None)

@@ -338,3 +338,52 @@ def test_near_dup_clusters_raises_on_nonconvergence(spark):
     )
     with pytest.raises(ValueError, match="did not converge"):
         near_dup_clusters(chain, max_iter=3)
+
+
+def test_twophase_cc_parity_with_min_label(spark):
+    """large-star/small-star CC (O(log n) rounds) returns exactly the
+    min-label labeling on chains, cycles, stars and random graphs — including
+    a path graph of diameter > 20, where min-label at default max_iter=20
+    would abort (VERDICT r3 #4)."""
+    import random
+
+    from engine.dedup import near_dup_clusters, near_dup_clusters_twophase
+
+    def as_set(df):
+        return {(r["node"], r["cluster_id"]) for r in df.collect()}
+
+    fixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    assert as_set(near_dup_clusters_twophase(fixed)) == as_set(
+        near_dup_clusters(fixed)
+    )
+
+    # path graph of diameter 40: min-label needs ~40 rounds, two-phase ~log
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
+    )
+    got = near_dup_clusters_twophase(deep, max_iter=12)
+    assert as_set(got) == {(i, 100) for i in range(100, 141)}
+    assert as_set(got) == as_set(near_dup_clusters(deep, max_iter=45))
+
+    # random graphs (seeded): several components, duplicate + reversed edges
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        assert as_set(near_dup_clusters_twophase(pairs)) == as_set(
+            near_dup_clusters(pairs, max_iter=60)
+        ), trial
+
+    # string ids: lexicographic min must match between the two variants
+    s = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    assert as_set(near_dup_clusters_twophase(s)) == as_set(near_dup_clusters(s))

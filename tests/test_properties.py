@@ -180,3 +180,39 @@ def test_crc_folds_match_bitwise_reference(data):
             r16 = ((r16 << 1) ^ 0x8005) & 0xFFFF if r16 & 0x8000 else (r16 << 1) & 0xFFFF
     assert flac.crc16(data) == r16
     assert crc32(data) == ogg_crc(data)
+
+
+def test_fastrng_bit_exact_vs_numpy_generator():
+    """engine/fastrng.py replays SeedSequence([SEED, id]) -> PCG64 ->
+    2 x random() bit-exactly (the invariant UDF's vectorized param path).
+    Covers dense low ids, scattered large ids, and the >= 2**32 fallback."""
+    import numpy as np
+
+    from engine.fastrng import first_doubles
+    from engine.synth import SEED
+
+    ids = np.array(
+        list(range(0, 500))
+        + [10_007, 999_983, 2**31 - 1, 2**31, 2**32 - 1, 2**32, 2**40 + 123],
+        dtype=np.int64,
+    )
+    d1, d2 = first_doubles(SEED, ids, 2)
+    for k, i in enumerate(ids):
+        ref = np.random.default_rng(np.random.SeedSequence([SEED, int(i)]))
+        assert d1[k] == ref.random(), i
+        assert d2[k] == ref.random(), i
+
+
+def test_clip_params_batch_matches_clean_pcm32_params():
+    """clip_params_batch must reproduce exactly the (f1, phase) drawn by
+    synth.clean_pcm32 / clean_pcm via _rng(i)."""
+    import numpy as np
+
+    from engine import synth
+
+    ids = np.arange(0, 200, 7, dtype=np.int64)
+    f1s, phases = synth.clip_params_batch(ids)
+    for k, i in enumerate(ids):
+        rng = synth._rng(int(i))
+        assert f1s[k] == 80.0 + 400.0 * rng.random()
+        assert phases[k] == 2 * np.pi * rng.random()
