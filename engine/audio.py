@@ -10,11 +10,15 @@ whole Arrow batches; the per-clip numpy work is vectorized C inside the batch.
 
 Container decode is pure numpy (this sandbox ships no audio libs): a
 canonical-WAV parser plus a real FLAC verbatim-subset decoder with CRC
-verification (engine/flac.py). opus/mp3 plug into the same ``decode`` seam —
-the full container STRUCTURE is validated (every Ogg page CRC-32, every MP3
+verification (engine/flac.py) — in BOTH containers: native 'fLaC' and
+Ogg-FLAC (xiph FLAC-to-Ogg mapping; full page walk + packet reassembly +
+frame decode, r4). opus/mp3 plug into the same ``decode`` seam — the full
+container STRUCTURE is validated (every Ogg page CRC-32, every MP3
 frame-header hop) before the packet-decode stub raises NotImplementedError;
 the Spark-side plumbing (schema, batching, join) is identical and is what we
-test.
+test. Net: 3 of 4 container families (wav, flac-native, ogg-flac) carry a
+genuine PCM decode + SNR invariant; only the opus/mp3 packet bodies remain
+stubbed (no SILK/CELT/MDCT without codec libs).
 """
 
 from __future__ import annotations
@@ -228,7 +232,16 @@ def container_sr(b: bytes, codec: str | None) -> int | None:
                 pos += 8 + clen + (clen & 1)  # chunks are word-aligned
             return None
         if codec == "flac":
-            packed = int.from_bytes(b[18:26], "big")
+            if b[:4] == b"OggS":
+                # Ogg-FLAC: STREAMINFO lives in the BOS page's first packet
+                # behind the 9-byte mapping header (0x7F 'FLAC' ver nhdr)
+                n_segs = b[26]
+                p = 27 + n_segs
+                if b[p : p + 5] != b"\x7fFLAC" or b[p + 9 : p + 13] != b"fLaC":
+                    return None
+                packed = int.from_bytes(b[p + 9 + 18 : p + 9 + 26], "big")
+            else:
+                packed = int.from_bytes(b[18:26], "big")
             return packed >> 44
         if codec == "opus":
             n_segs = b[26]
@@ -241,16 +254,52 @@ def container_sr(b: bytes, codec: str | None) -> int | None:
     return None
 
 
+def _decode_ogg_flac_parts(b):
+    """Ogg-FLAC (xiph FLAC-to-Ogg mapping): full page walk + packet-stream
+    reassembly + REAL FLAC body decode behind the Ogg layer. Returns
+    (pcm, deferred_crc_groups) — both the page CRC-32s and the frame
+    CRC-16s verify either inline (``decode``) or batch-folded
+    (``invariant_batches``). An Ogg stream whose first packet is not the
+    FLAC mapping is valid-but-out-of-subset for this codec tag."""
+    from engine import flac as flac_mod
+
+    pages, stored, payloads = walk_ogg_pages(b)
+    first = payloads[0] if payloads else b""
+    if len(first) < 9 or first[:5] != b"\x7fFLAC":
+        raise NotImplementedError("codec_decoder_missing:ogg_mapping")
+    native = first[9:] + b"".join(payloads[1:])
+    pcm, frames, fstored = flac_mod.parse(native)
+    # flac group FIRST: the batch override loop processes groups in this
+    # order, so a page-CRC failure wins the error string (pages were always
+    # verified before frames)
+    return pcm, (("flac", frames, fstored), ("ogg", pages, stored))
+
+
 def decode(b: bytes, codec: str | None) -> np.ndarray:
     if codec in (None, "pcm_s16le", "wav"):
         return decode_wav_pcm16(b)
     if codec == "flac":
         # REAL body decode (engine/flac.py): verbatim-subset frames to PCM,
-        # CRC-8 header + CRC-16 frame verification. Corruption -> ValueError
-        # -> violation; valid-but-out-of-subset -> NotImplementedError ->
-        # plumbing pass (same contract as the remaining stubs).
+        # CRC-8 header + CRC-16 frame verification, in either container
+        # (native 'fLaC' or Ogg-FLAC). Corruption -> ValueError -> violation;
+        # valid-but-out-of-subset -> NotImplementedError -> plumbing pass
+        # (same contract as the remaining stubs).
         from engine import flac as flac_mod
 
+        if b is not None and bytes(memoryview(b)[:4]) == b"OggS":
+            from engine.oggcrc import crc32_many
+
+            pcm, deferred = _decode_ogg_flac_parts(b)
+            groups = {kind: (chunks, stored) for kind, chunks, stored in deferred}
+            pages, pstored = groups["ogg"]
+            for c, s in zip(crc32_many(pages), pstored):
+                if int(c) != s:
+                    raise ValueError("bad_ogg_page")
+            frames, fstored = groups["flac"]
+            for c, s in zip(flac_mod.crc16_many(frames), fstored):
+                if int(c) != s:
+                    raise ValueError("bad_flac_frame")
+            return pcm
         return flac_mod.decode(b)
     if codec in _HEADER_VALIDATORS:
         # body decode requires codec libs not present in this image, but the
@@ -274,6 +323,8 @@ def _decode_for_batch(b, codec: str | None):
     if codec == "flac":
         from engine import flac as flac_mod
 
+        if b is not None and bytes(memoryview(b)[:4]) == b"OggS":
+            return _decode_ogg_flac_parts(b)
         pcm, frames, stored = flac_mod.parse(b)
         return pcm, (("flac", frames, stored),)
     if codec == "opus":

@@ -175,6 +175,53 @@ def ogg_opus_bytes(sr: int, body: bytes) -> bytes:
     return b"".join(pages)
 
 
+def ogg_flac_bytes(
+    sr: int,
+    pcm: np.ndarray,
+    streaminfo_sr: int | None = None,
+    corrupt_frames: bool = False,
+) -> bytes:
+    """Ogg-encapsulated FLAC (the xiph 'FLAC-to-Ogg mapping', public spec):
+    BOS page carries one packet [0x7F 'FLAC' major=1 minor=0 n_header(2 BE)
+    + 'fLaC' + STREAMINFO(not-last)]; page 1 carries a VORBIS_COMMENT block
+    (last); data pages carry the same verbatim-subset frame stream as the
+    native container, every page CRC-32'd with contiguous sequence numbers
+    and EOS on the last.
+
+    ``corrupt_frames`` flips bytes INSIDE a frame body BEFORE paging, so the
+    page chain stays fully valid and only the FLAC frame CRC-16 *behind* the
+    Ogg layer can catch it — the flac_body_corrupt plant for this container
+    (proves the engine genuinely decodes the FLAC stream through Ogg, not
+    just the page CRCs)."""
+    from engine import flac as flac_mod
+
+    si = flac_mod.streaminfo(streaminfo_sr or sr, len(pcm))
+    # clear the last-metadata-block flag: a VORBIS_COMMENT block follows
+    hdr_packet = (
+        b"\x7fFLAC\x01\x00" + struct.pack(">H", 1)
+        + si[:4] + bytes([si[4] & 0x7F]) + si[5:]
+    )
+    vc = struct.pack("<I", 0) + struct.pack("<I", 0)  # empty vendor, 0 tags
+    vc_packet = bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
+    frames = flac_mod.encode_frames(pcm)
+    if corrupt_frames:
+        ba = bytearray(frames)
+        for k in range(18, min(34, len(ba))):  # inside the first frame body
+            ba[k] ^= 0xA5
+        frames = bytes(ba)
+    pages = [ogg_page(0, 0, 0x02, hdr_packet), ogg_page(1, 0, 0x00, vc_packet)]
+    chunks = [
+        frames[i : i + OGG_PAGE_DATA]
+        for i in range(0, max(len(frames), 1), OGG_PAGE_DATA)
+    ]
+    for j, ch in enumerate(chunks):
+        last = j == len(chunks) - 1
+        pages.append(
+            ogg_page(2 + j, flac_mod.BLOCKSIZE * (j + 1), 0x04 if last else 0x00, ch)
+        )
+    return b"".join(pages)
+
+
 #: MPEG-1 Layer III bitrate (kbps) and sample-rate tables (public header spec)
 MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 MP3_RATES = (44100, 48000, 32000)
@@ -321,10 +368,12 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
         corrupt_payload = _hit(np.array([i]), "payload_corrupt")[0]
         corrupt_header = _hit(np.array([i]), "container_header_corrupt")[0]
         if corrupt_payload:
-            # PCM-content corruption is planted on the decodable codec — the
-            # sandbox's flac/opus/mp3 decoders are header-validate-only, so a
-            # content corruption there would be undetectable by design
-            codec = "pcm_s16le"
+            # PCM-content corruption is planted on the DECODABLE codecs:
+            # wav, and (since r4) every third plant lands on Ogg-FLAC —
+            # a fully VALID container (every page CRC good, every frame
+            # CRC good) whose samples are garbage, catchable only by the
+            # complete Ogg -> FLAC -> PCM decode + SNR compare
+            codec = "flac" if i % 3 == 0 else "pcm_s16le"
         if corrupt_header:
             # container-header corruption IS detectable on the stubbed
             # codecs (magic / CRC / frame-sync validation at the decode seam)
@@ -360,14 +409,29 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
 
             sig = clean_pcm(i, sr, max(dur, 200))
             pcm = _noisy_pcm16(i, sig)
-            b = flac_mod.encode(pcm, sr, streaminfo_sr=sr * 2 if sr_mismatch else None)
-            if body_corrupt:
-                ba = bytearray(b)
-                for k in range(60, 76):  # inside the first verbatim frame
-                    ba[k] ^= 0xA5
-                b = bytes(ba)
+            if corrupt_payload:
+                # garbage SIGNAL in a pristine container: only decode+SNR sees it
+                pcm = (pcm.astype(np.int32) * 13 % 65536 - 32768).astype(np.int16)
+            if i % 3 == 0:
+                # every third flac clip ships in the Ogg-FLAC container
+                # (public xiph mapping) — the Ogg slot with a REAL body
+                # decode behind the page walk. NB the container_header_corrupt
+                # flac plants (i = 41 + 9000m, always i%3==2) stay native, so
+                # their oracle error string ('bad_flac_header') is unchanged.
+                b = ogg_flac_bytes(
+                    sr, pcm,
+                    streaminfo_sr=sr * 2 if sr_mismatch else None,
+                    corrupt_frames=bool(body_corrupt),
+                )
+            else:
+                b = flac_mod.encode(pcm, sr, streaminfo_sr=sr * 2 if sr_mismatch else None)
+                if body_corrupt:
+                    ba = bytearray(b)
+                    for k in range(60, 76):  # inside the first verbatim frame
+                        ba[k] ^= 0xA5
+                    b = bytes(ba)
             if corrupt_header:
-                b = b"XXXX" + b[4:]  # break magic
+                b = b"XXXX" + b[4:]  # break magic ('fLaC' or 'OggS')
         elif codec in ("opus", "mp3"):
             n_samp = min(int(sr * max(dur, 200) / 1000), 200_000)
             b = container_bytes(codec, i, sr * 2 if sr_mismatch else sr, n_samp)
