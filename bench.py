@@ -31,6 +31,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # session/JIT/scheduling) don't dominate the throughput number
 N_CLIPS = int(os.environ.get("TSAD_BENCH_CLIPS", "250000"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+# bump when engine/synth.py changes fixture BYTES: cache files are keyed by
+# (tag, n) so a stale fixture can never be silently reused across rounds
+FIXTURE_TAG = "r4"
 
 BENCH_QUERIES = [
     "suite_verdicts_lineitem",
@@ -54,8 +57,8 @@ BENCH_QUERIES = [
 def ensure_clips(spark):
     from engine import synth
 
-    clips_path = f"{CACHE}/clips_{N_CLIPS}.parquet"
-    tr_path = f"{CACHE}/transcripts_{N_CLIPS}.parquet"
+    clips_path = f"{CACHE}/clips_{FIXTURE_TAG}_{N_CLIPS}.parquet"
+    tr_path = f"{CACHE}/transcripts_{FIXTURE_TAG}_{N_CLIPS}.parquet"
     if not os.path.exists(clips_path):
         synth.gen_clips(spark, N_CLIPS, partitions=max(CPUS * 4, 32)).write.mode(
             "overwrite"
