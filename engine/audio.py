@@ -86,12 +86,17 @@ def validate_ogg_stream(b) -> None:
             raise ValueError("bad_ogg_page")
 
 
-def walk_ogg_pages(b) -> tuple[list[bytes], list[int], list[bytes]]:
+def walk_ogg_pages(
+    b, collect_payloads: bool = False
+) -> tuple[list[bytes], list[int], list[bytes]]:
     """The structural page walk of ``validate_ogg_stream`` with the CRC-32
     verification DEFERRED: returns (crc_zeroed_pages, stored_crcs,
     page_payloads) so a batch caller can fold every page of every clip into
     one tree reduction, and so container decoders (Ogg-FLAC) can reassemble
-    the packet stream. All structural checks still raise here."""
+    the packet stream. All structural checks still raise here.
+    ``collect_payloads`` defaults False — only the Ogg-FLAC reassembly needs
+    the payload copies; the opus validation path would otherwise duplicate
+    the whole payload volume in throwaway allocations (r4 review finding)."""
     from engine.oggcrc import as_u8
 
     mv = as_u8(b)
@@ -125,12 +130,19 @@ def walk_ogg_pages(b) -> tuple[list[bytes], list[int], list[bytes]]:
                 n_segs = mv[pos + 26]
                 plen = 27 + n_segs + sum(mv[pos + 27 : pos + 27 + n_segs])
                 if pos + plen <= n:
-                    from engine.oggcrc import crc32
+                    from engine.oggcrc import crc32, crc32_many
 
                     stored = struct.unpack("<I", mv[pos + 22 : pos + 26])[0]
                     pg = bytearray(mv[pos : pos + plen])
                     pg[22:26] = b"\x00\x00\x00\x00"
                     if crc32(bytes(pg)) == stored:
+                        # verify the FIRST link's pages before conceding the
+                        # stream to the out-of-subset route: a corrupt page
+                        # followed by a clean chained link must stay a
+                        # violation, not a plumbing pass (r4 review finding)
+                        for c, s in zip(crc32_many(pages), storeds):
+                            if int(c) != s:
+                                raise ValueError("bad_ogg_page")
                         raise NotImplementedError(
                             "codec_decoder_missing:ogg_chained"
                         )
@@ -146,7 +158,8 @@ def walk_ogg_pages(b) -> tuple[list[bytes], list[int], list[bytes]]:
         page[22:26] = b"\x00\x00\x00\x00"
         pages.append(bytes(page))
         storeds.append(stored)
-        payloads.append(bytes(mv[pos + 27 + n_segs : pos + page_len]))
+        if collect_payloads:
+            payloads.append(bytes(mv[pos + 27 + n_segs : pos + page_len]))
         last_type = htype
         pos += page_len
         idx += 1
@@ -189,9 +202,15 @@ def validate_mp3_stream(b) -> None:
         # valid-but-out-of-subset shapes (MPEG-2/2.5, Layer I/II, free-format
         # bitrate): legal audio this walker cannot hop (frame-length tables /
         # free-format sizing not implemented) -> plumbing pass, same contract
-        # as flac.py's out-of-subset route (ADVICE r3)
+        # as flac.py's out-of-subset route (ADVICE r3). FIRST FRAME ONLY:
+        # version/layer are stream-level properties, so a mid-chain switch is
+        # corruption (e.g. one bit flip 0xFB->0xF3 keeps sync but changes the
+        # version bits) — routing those to the stub would undo r3's
+        # full-chain detection guarantee (r4 review finding).
         if version != 3 or layer != 1 or bitrate_idx == 0:
-            raise NotImplementedError("codec_decoder_missing:mp3_subset")
+            if frames == 0:
+                raise NotImplementedError("codec_decoder_missing:mp3_subset")
+            raise ValueError("bad_mp3_frame")
         flen = mp3_frame_len(b1, b2)
         if flen <= 4 or pos + flen > n:
             raise ValueError("bad_mp3_frame")
@@ -263,7 +282,7 @@ def _decode_ogg_flac_parts(b):
     FLAC mapping is valid-but-out-of-subset for this codec tag."""
     from engine import flac as flac_mod
 
-    pages, stored, payloads = walk_ogg_pages(b)
+    pages, stored, payloads = walk_ogg_pages(b, collect_payloads=True)
     first = payloads[0] if payloads else b""
     if len(first) < 9 or first[:5] != b"\x7fFLAC":
         raise NotImplementedError("codec_decoder_missing:ogg_mapping")
@@ -569,7 +588,12 @@ def invariant_batches(batches, expected_fn, snr_min_db):
         ):
             if not chunks:
                 continue
-            step = max(8, 262144 // max(1, len(chunks[0])))
+            # size groups by the LARGEST chunk: the fold matrix pads every
+            # row to the widest chunk's power-of-two width, so sizing by
+            # chunks[0] (for Ogg pools a tiny BOS page) would build multi-MB
+            # DRAM-bound matrices — the regime measured 14x slower
+            # (r4 review finding)
+            step = max(8, 262144 // max(1, max(len(c) for c in chunks)))
             got = np.concatenate(
                 [crc_fn(chunks[i : i + step]) for i in range(0, len(chunks), step)]
             )

@@ -254,6 +254,7 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Connected components over a verified near-duplicate pair graph:
     ``(node, cluster_id)`` with cluster_id = the component's minimum node id
@@ -269,7 +270,18 @@ def near_dup_clusters(
     one groupBy on (node) — ``localCheckpoint`` truncates the growing plan
     lineage so round k does not re-execute rounds 1..k-1. The convergence
     probe collects ONE scalar per round (the changed-label count).
+
+    ``algorithm``: 'min_label' (default — raises on non-convergence),
+    'two_phase' (delegate to ``near_dup_clusters_twophase``), or 'auto'
+    (min-label for the shallow common case; if a component's diameter
+    exceeds ``max_iter``, fall back to the O(log n)-round two-phase variant
+    instead of aborting — at web scale one deep boilerplate chain should
+    not kill the pipeline).
     """
+    if algorithm == "two_phase":
+        return near_dup_clusters_twophase(pairs, id_a, id_b, max_iter=max_iter)
+    if algorithm not in ("min_label", "auto"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -302,11 +314,14 @@ def near_dup_clusters(
     if not converged:
         # a label moves ONE hop per round, so a component of diameter >
         # max_iter would exit here with non-minimal labels — silently wrong
-        # cluster ids are worse than a loud stop (raise max_iter, or switch
-        # to large-star/small-star for genuinely deep graphs)
+        # cluster ids are worse than a loud stop. 'auto' switches to the
+        # O(log n)-round two-phase variant; the default stays loud.
+        if algorithm == "auto":
+            return near_dup_clusters_twophase(pairs, id_a, id_b)
         raise ValueError(
             f"near_dup_clusters did not converge within max_iter={max_iter} "
-            "rounds (component diameter exceeds it)"
+            "rounds (component diameter exceeds it; pass algorithm='auto' "
+            "or 'two_phase' for deep graphs)"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
@@ -340,6 +355,15 @@ def near_dup_clusters_twophase(
     non-convergence still raises rather than returning wrong labels.
     ``localCheckpoint`` truncates plan lineage each round like the min-label
     loop."""
+    # every node mentioned in pairs, BEFORE self-loops are dropped: a node
+    # appearing only as (x, x) still owes a (x, x) singleton label — the
+    # min-label variant emits it, so parity requires it here too
+    # (r4 review finding)
+    all_nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
     e = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -396,6 +420,10 @@ def near_dup_clusters_twophase(
     roots = e.select(F.col("v").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster_id")
     )
-    return e.select(
+    labeled = e.select(
         F.col("u").alias("node"), F.col("v").alias("cluster_id")
     ).unionByName(roots)
+    singletons = all_nodes.join(
+        labeled.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("cluster_id"))
+    return labeled.unionByName(singletons)

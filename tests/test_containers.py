@@ -212,3 +212,31 @@ def test_ogg_non_flac_mapping_is_out_of_subset_for_flac_codec():
     b = ogg_opus_bytes(8000, b"\x01" * 2000)  # OpusHead mapping, codec says flac
     with pytest.raises(NotImplementedError, match="ogg_mapping"):
         audio.decode(b, "flac")
+
+
+def test_mp3_mid_chain_version_flip_stays_violation():
+    """r4 review fix: out-of-subset routing applies to the FIRST frame only.
+    A mid-chain header whose sync survives but whose version/layer bits
+    changed (single bit flip 0xFB -> 0xF3) is corruption, not a subset gap —
+    version/layer are stream-level properties."""
+    b = bytearray(mp3_bytes(b"\x05" * 3000))
+    flen = synth.mp3_frame_len(0xFB, 0x90)
+    k = (len(b) // flen // 2) * flen  # a mid-chain frame header
+    b[k + 1] = 0xF3                   # MPEG-2 version bits, sync intact
+    with pytest.raises(ValueError, match="bad_mp3_frame"):
+        audio.validate_mp3_stream(bytes(b))
+
+
+def test_ogg_corrupt_first_link_then_chain_stays_violation():
+    """r4 review fix: a corrupted page in the FIRST link followed by a clean
+    chained link must stay a violation — the chained-stream plumbing pass
+    only applies when everything walked so far verifies."""
+    body = b"\x06" * 3000
+    link1 = bytearray(ogg_opus_bytes(8000, body))
+    link1[len(link1) // 2] ^= 0xA5  # break a data page CRC in link 1
+    link2 = ogg_opus_bytes(8000, body)
+    with pytest.raises(ValueError, match="bad_ogg_page"):
+        audio.validate_ogg_stream(bytes(link1) + link2)
+    # sanity: with an uncorrupted first link the chained route still applies
+    with pytest.raises(NotImplementedError, match="ogg_chained"):
+        audio.validate_ogg_stream(ogg_opus_bytes(8000, body) + link2)

@@ -387,3 +387,36 @@ def test_twophase_cc_parity_with_min_label(spark):
         "id_a string, id_b string",
     )
     assert as_set(near_dup_clusters_twophase(s)) == as_set(near_dup_clusters(s))
+
+
+def test_near_dup_clusters_auto_falls_back_to_twophase(spark):
+    """algorithm='auto': min-label for shallow graphs, two-phase fallback
+    when the diameter exceeds max_iter — same labels, no pipeline abort."""
+    from engine.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50, 80)], "id_a long, id_b long"
+    )
+    got = {(r["node"], r["cluster_id"])
+           for r in near_dup_clusters(chain, max_iter=3, algorithm="auto").collect()}
+    assert got == {(i, 50) for i in range(50, 81)}
+    # explicit two_phase delegate and unknown-algorithm guard
+    got2 = {(r["node"], r["cluster_id"])
+            for r in near_dup_clusters(chain, algorithm="two_phase").collect()}
+    assert got2 == got
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        near_dup_clusters(chain, algorithm="bogus")
+
+
+def test_twophase_cc_keeps_self_pair_singletons(spark):
+    """r4 review fix: a node appearing only in self-pairs (id_a == id_b)
+    must still receive a singleton label, matching min-label."""
+    from engine.dedup import near_dup_clusters, near_dup_clusters_twophase
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    want = {(r["node"], r["cluster_id"])
+            for r in near_dup_clusters(pairs).collect()}
+    got = {(r["node"], r["cluster_id"])
+           for r in near_dup_clusters_twophase(pairs).collect()}
+    assert want == {(1, 1), (2, 1), (5, 5)}
+    assert got == want

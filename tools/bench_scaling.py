@@ -26,8 +26,9 @@ from engine.runner import validate
 
 cores, n_clips, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
-clips = spark.read.parquet(f"/root/repo/.bench_cache/clips_r4_{n_clips}.parquet")
-tr = spark.read.parquet(f"/root/repo/.bench_cache/transcripts_r4_{n_clips}.parquet")
+from bench import FIXTURE_TAG  # single source of truth for fixture versioning
+clips = spark.read.parquet(f"/root/repo/.bench_cache/clips_{FIXTURE_TAG}_{n_clips}.parquet")
+tr = spark.read.parquet(f"/root/repo/.bench_cache/transcripts_{FIXTURE_TAG}_{n_clips}.parquet")
 n = clips.count()
 clips.select(F.sum(F.length("bytes"))).collect()
 tr.count()
