@@ -244,13 +244,10 @@ def ri_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customers_without_orders",
-    """
-    SELECT c_custkey, c_mktsegment FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
-    """,
-)
+# NOT @register-ed since r4: near-duplicate driver evidence of
+# ri_orders_customer (same anti-join code path, also 0 rows at sf0.01);
+# retired to hold the registry at the driver's 50-slot CORRECTNESS window
+# while the r4 queries (skew, two-phase CC) stay driver-visible.
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -654,13 +651,10 @@ def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline: dedup family (documents)
 # ---------------------------------------------------------------------------
 
-@register(
-    "dedup_exact_documents",
-    """
-    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-    FROM documents GROUP BY md5(text) HAVING count(*) > 1
-    """,
-)
+# NOT @register-ed since r4 (50-slot window, see customers_without_orders):
+# 0 rows at sf0.01 made this the weakest dedup evidence; the exact-dedup op
+# stays driver-verified via dedup_keep_first_documents (500 rows, same md5
+# grouping) and pytest (test_exact_dedup_keeps_min_id).
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dup_groups(docs, "text", "doc_id")
@@ -1837,18 +1831,11 @@ def simhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register(
-    "skewed_ndv_salted_events",
-    """
-    WITH k AS (
-      SELECT CASE WHEN event_id % 2 = 0 THEN 'hot'
-                  ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS skew_key,
-             event_id
-      FROM events)
-    SELECT skew_key, CAST(count(DISTINCT event_id) AS BIGINT) AS ndv
-    FROM k GROUP BY skew_key
-    """,
-)
+# NOT @register-ed since r4 (50-slot window): the skew A/B (BENCH.md r4)
+# showed Spark's distinct-aggregate planning is already self-salting, so the
+# collect_set variant below is the one that carries the driver-visible skew
+# evidence; this exactness contract stays pytest-covered
+# (test_salted_distinct_count_matches_plain).
 def skewed_ndv_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible skew evidence (VERDICT r3 #5): an exact
     COUNT(DISTINCT) over a deliberately skewed key — HALF of all rows share
