@@ -30,6 +30,8 @@ def stream_validate(
     out_path: str,
     checkpoint_dir: str,
     n_buckets: int = 32,
+    transcripts: DataFrame | None = None,
+    check_audio: bool = False,
 ):
     """Attach the suite's row-local checks to a streaming DataFrame.
 
@@ -38,7 +40,15 @@ def stream_validate(
     (+ batch_id) to ``out_path``. Returns the StreamingQuery. Cumulative
     verdicts = groupBy(constraint).sum over the sink — exactly the
     checkpoint-table merge semantics.
-    """
+
+    ``check_audio=True`` (r4) additionally runs the full audio/transcript
+    invariant pass (audio.audio_invariants — real PCM decode + SNR,
+    container-sr cross-field, transcript equality against the STATIC
+    ``transcripts`` dim; stream-static join semantics) per micro-batch and
+    appends its per-bucket verdicts to the same sink: streaming ingest of a
+    clip table gets the identical 10-constraint validation as a batch run,
+    and cumulative verdicts still merge by groupBy(constraint).sum because
+    micro-batches partition the rows."""
     row_local = suite.row_local()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -68,6 +78,39 @@ def stream_validate(
             F.explode(F.array(*structs)).alias("v"),
         ).select("batch_id", checks_mod.BUCKET, "v.constraint",
                  "v.violation_count", "rows_scanned")
+        if check_audio and transcripts is not None:
+            from engine import audio as audio_mod
+
+            inv = audio_mod.audio_invariants(batch_df, transcripts)
+            flags = [
+                ("pcm_ok", "pcm_snr_invariant"),
+                ("transcript_ok", "transcript_equality"),
+                ("meta_sr_ok", "container_sr_consistency"),
+            ]
+            au_wide = inv.groupBy("bucket_id").agg(
+                F.count(F.lit(1)).cast("long").alias("rows_scanned"),
+                *[
+                    F.sum(F.when(~F.col(flag), 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"__a__{i}")
+                    for i, (flag, _) in enumerate(flags)
+                ],
+            )
+            au_structs = [
+                F.struct(
+                    F.lit(name).alias("constraint"),
+                    F.col(f"__a__{i}").alias("violation_count"),
+                )
+                for i, (_, name) in enumerate(flags)
+            ]
+            au_long = au_wide.select(
+                F.lit(batch_id).alias("batch_id"),
+                F.col("bucket_id").alias(checks_mod.BUCKET),
+                "rows_scanned",
+                F.explode(F.array(*au_structs)).alias("v"),
+            ).select("batch_id", checks_mod.BUCKET, "v.constraint",
+                     "v.violation_count", "rows_scanned")
+            long = long.unionByName(au_long)
         # idempotent sink: a retried micro-batch overwrites ITS OWN batch_id
         # partition instead of appending a second copy (dynamic partition
         # overwrite touches only partitions present in this write)

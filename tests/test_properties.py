@@ -216,3 +216,23 @@ def test_clip_params_batch_matches_clean_pcm32_params():
         rng = synth._rng(int(i))
         assert f1s[k] == 80.0 + 400.0 * rng.random()
         assert phases[k] == 2 * np.pi * rng.random()
+
+
+def test_fastrng_property_random_ids():
+    """Property check across the id space (incl. the 2**32 fast/slow-path
+    boundary): the vectorized replay equals the real Generator bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from engine.fastrng import first_doubles
+    from engine.synth import SEED
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=0, max_value=(1 << 40)))
+    def check(i):
+        d1, d2 = first_doubles(SEED, np.array([i], dtype=np.int64), 2)
+        ref = np.random.default_rng(np.random.SeedSequence([SEED, i]))
+        assert d1[0] == ref.random() and d2[0] == ref.random()
+
+    check()

@@ -287,3 +287,51 @@ def test_windowed_drift_schema(spark):
              F.min("value").alias("min"), F.max("value").alias("max"))
     ).collect()
     assert agg[0]["n"] == 2 and agg[0]["mean"] == 2.0
+
+
+@pytest.mark.slow
+def test_stream_validate_audio_matches_batch(spark, tmp_path):
+    """r4: check_audio=True streams the FULL invariant pass (real PCM
+    decode + SNR, container-sr, transcript equality vs the static dim) —
+    cumulative verdicts across micro-batches must equal a batch run,
+    including duplicated clip_ids split across micro-batches."""
+    from engine.runner import validate
+
+    n = 1000
+    clips = synth.gen_clips(spark, n, partitions=4).cache()
+    clips.count()
+    tr = synth.gen_transcripts(spark, n, partitions=2).cache()
+    tr.count()
+    src_dir = str(tmp_path / "landing")
+    a, b = clips.randomSplit([0.5, 0.5], seed=7)
+    a.write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(clips.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src_dir)
+    )
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.stream_validate(
+        stream, audio_clip_suite(), ["clip_id"], out, ckpt, n_buckets=8,
+        transcripts=tr, check_audio=True,
+    )
+    q.processAllAvailable()
+    b.write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["constraint"]: (r["violation_count"], r["rows_scanned"])
+        for r in streaming.cumulative_verdicts(spark, out).collect()
+    }
+    res = validate(clips, tr, check_audio=True, n_buckets=8)
+    audio_names = {"pcm_snr_invariant", "transcript_equality",
+                   "container_sr_consistency"}
+    exp = {
+        r["constraint"]: (r["violation_count"], r["rows_scanned"])
+        for r in res.verdicts.collect()
+        if r["constraint"] in audio_names
+    }
+    assert {k: v for k, v in got.items() if k in audio_names} == exp
