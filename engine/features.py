@@ -1,0 +1,171 @@
+"""Audio feature-extraction and segmentation operators (multimodal pipeline).
+
+The task brief's multimodal column contract asks for decode /
+feature-extract / frame-sample as vectorized Arrow UDFs over the opaque
+binary column. ``decode`` lives in engine/audio.py (real for wav / flac /
+ogg-flac); this module adds the two training-data-prep operators built on
+it:
+
+  * ``audio_features`` — per-clip scalar features from decoded PCM (RMS
+    energy in dB, zero-crossing rate, dominant frequency via a Goertzel-free
+    rFFT peak) — the audio analog of the text quality-score family
+    (engine/text.py), used for corpus filtering (silence / clipping /
+    tone-like artifacts).
+  * ``segment_clips`` — the frame-sample analog: split each clip's PCM into
+    fixed-length segments re-encapsulated as canonical WAV, exploding one
+    row per segment. At 10^12 rows this runs on the bare clips scan (the
+    binary column still never enters a join) and the output is narrower per
+    row, so downstream trainers read uniformly-sized samples.
+
+Scale notes: both are single ``mapInArrow`` passes — the only pass class
+that touches the payload; undecodable/corrupt clips yield NULL features
+(or zero segments) instead of failing the batch, mirroring the
+invariant pass's per-row error contract. Reference analog: the
+per-window framing the reference trains on (models/utils.py:34-39,
+ts_to_supervised) — here at the clip/byte level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+FEATURES_SCHEMA = (
+    "clip_id string, n_samples long, rms_db double, zcr double, "
+    "dominant_hz double, clipped_frac double, decode_error string"
+)
+
+SEGMENTS_SCHEMA = (
+    "clip_id string, seg_idx int, bytes binary, sr_hz int, dur_ms int"
+)
+
+
+def pcm_features(pcm: np.ndarray, sr: int) -> tuple[float, float, float, float]:
+    """(rms_db, zcr, dominant_hz, clipped_frac) of a float32 PCM buffer in
+    [-1, 1). Pure numpy; the per-clip reference used by the Arrow batch op
+    and the tests."""
+    n = len(pcm)
+    if n == 0:
+        return float("-inf"), 0.0, 0.0, 0.0
+    rms = float(np.sqrt(np.dot(pcm, pcm) / n))
+    rms_db = 20.0 * np.log10(rms) if rms > 0 else float("-inf")
+    # zero-crossing rate: fraction of adjacent pairs changing sign
+    s = np.signbit(pcm)
+    zcr = float(np.count_nonzero(s[1:] != s[:-1])) / max(n - 1, 1)
+    # dominant frequency: rFFT magnitude peak (exclude DC)
+    spec = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+    if len(spec) > 1:
+        k = int(np.argmax(spec[1:])) + 1
+        dominant = k * sr / (2.0 * (len(spec) - 1))
+    else:
+        dominant = 0.0
+    clipped = float(np.count_nonzero(np.abs(pcm) >= (32767.0 / 32768.0))) / n
+    return rms_db, zcr, float(dominant), clipped
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """Per-clip audio features from the REAL decode path: one mapInArrow
+    pass over (clip_id, bytes, sr_hz, codec); undecodable codecs and
+    corrupt payloads produce NULL features + the error tag instead of
+    failing the batch."""
+    from engine import audio as audio_mod
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            blob, n = cols["bytes"], rb.num_rows
+            clip_ids = cols["clip_id"].to_pylist()
+            codecs = cols["codec"].to_pylist()
+            srs = cols["sr_hz"].to_numpy(zero_copy_only=False)
+            out = {k: [None] * n for k in
+                   ("n_samples", "rms_db", "zcr", "dominant_hz",
+                    "clipped_frac", "decode_error")}
+            for j in range(n):
+                if not blob[j].is_valid:
+                    out["decode_error"][j] = "short_or_null_payload"
+                    continue
+                try:
+                    pcm = audio_mod.decode(blob[j].as_buffer(), codecs[j])
+                except NotImplementedError:
+                    out["decode_error"][j] = "codec_decoder_missing"
+                    continue
+                except ValueError as e:
+                    out["decode_error"][j] = str(e)
+                    continue
+                rms_db, zcr, dom, clip_frac = pcm_features(pcm, int(srs[j]))
+                out["n_samples"][j] = len(pcm)
+                out["rms_db"][j] = rms_db
+                out["zcr"][j] = zcr
+                out["dominant_hz"][j] = dom
+                out["clipped_frac"][j] = clip_frac
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["clip_id"],
+                    pa.array(out["n_samples"], type=pa.int64()),
+                    pa.array(out["rms_db"], type=pa.float64()),
+                    pa.array(out["zcr"], type=pa.float64()),
+                    pa.array(out["dominant_hz"], type=pa.float64()),
+                    pa.array(out["clipped_frac"], type=pa.float64()),
+                    pa.array(out["decode_error"], type=pa.string()),
+                ],
+                names=["clip_id", "n_samples", "rms_db", "zcr",
+                       "dominant_hz", "clipped_frac", "decode_error"],
+            )
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInArrow(
+        run, schema=FEATURES_SCHEMA
+    )
+
+
+def segment_clips(clips: DataFrame, seg_ms: int = 1000) -> DataFrame:
+    """Frame-sample: explode each decodable clip into fixed-length WAV
+    segments (final partial segment kept). Output rows:
+    (clip_id, seg_idx, bytes=canonical wav, sr_hz, dur_ms). Undecodable /
+    corrupt clips contribute zero rows — segmentation is a PREP step, the
+    invariant pass is where corruption is reported."""
+    from engine import audio as audio_mod
+    from engine.synth import wav_bytes
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            blob = cols["bytes"]
+            clip_ids = cols["clip_id"].to_pylist()
+            codecs = cols["codec"].to_pylist()
+            srs = cols["sr_hz"].to_numpy(zero_copy_only=False)
+            o_id, o_idx, o_bytes, o_sr, o_dur = [], [], [], [], []
+            for j in range(rb.num_rows):
+                if not blob[j].is_valid:
+                    continue
+                try:
+                    pcm = audio_mod.decode(blob[j].as_buffer(), codecs[j])
+                except (NotImplementedError, ValueError):
+                    continue
+                sr = int(srs[j])
+                step = max(int(sr * seg_ms / 1000), 1)
+                i16 = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+                for k, start in enumerate(range(0, len(i16), step)):
+                    seg = i16[start : start + step]
+                    o_id.append(clip_ids[j])
+                    o_idx.append(k)
+                    o_bytes.append(wav_bytes(seg, sr))
+                    o_sr.append(sr)
+                    o_dur.append(int(len(seg) * 1000 / sr))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.string()),
+                    pa.array(o_idx, type=pa.int32()),
+                    pa.array(o_bytes, type=pa.binary()),
+                    pa.array(o_sr, type=pa.int32()),
+                    pa.array(o_dur, type=pa.int32()),
+                ],
+                names=["clip_id", "seg_idx", "bytes", "sr_hz", "dur_ms"],
+            )
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInArrow(
+        run, schema=SEGMENTS_SCHEMA
+    )

@@ -182,3 +182,28 @@ def audio_clip_suite(
         )
     )
     return s
+
+
+def speech_rate_invariant(
+    max_words_per_sec: float = 6.0,
+    transcript_col: str = "transcript",
+    dur_col: str = "dur_ms",
+) -> RowInvariant:
+    """Cross-modal plausibility constraint: a transcript whose word rate
+    exceeds ``max_words_per_sec`` against the clip's duration cannot be a
+    faithful transcription (conversational speech tops out ~4-5 words/s).
+    Expression-only (fuses into the one-scan conditional aggregation like
+    NotNull/Range/Domain); NULL transcript or non-positive duration is NOT
+    a violation here — those are the NotNull/Range constraints' findings."""
+    from pyspark.sql import functions as F
+
+    def viol(df):
+        words = F.size(F.split(F.col(transcript_col), " "))
+        rate = words / (F.col(dur_col) / 1000.0)
+        return (
+            F.col(transcript_col).isNotNull()
+            & (F.col(dur_col) > 0)
+            & (rate > max_words_per_sec)
+        )
+
+    return RowInvariant(f"speech_rate_le_{max_words_per_sec}", make_violation=viol)
