@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the PLANS.md properties that decide
+100 TB behavior, asserted on the executed plan at sf0.01 so a refactor
+that silently breaks pushdown / pruning / broadcast / map-side collapse
+fails CI instead of only aging a doc."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def Q():
+    from engine import queries as qmod
+
+    return qmod.Q
+
+
+def test_filter_pushdown_and_column_pruning(spark, Q):
+    p = plan_of(Q["range_violations_events"](spark, SF))
+    assert "PushedFilters: [" in p and ("GreaterThan" in p or "LessThan" in p)
+    # pruned read: the scan must not fetch props/ts/event_type
+    scan = [l for l in p.splitlines() if "FileScan" in l][0]
+    assert "props" not in scan and "event_type" not in scan
+
+
+def test_ri_antijoin_broadcasts_dim_not_fact(spark, Q):
+    p = plan_of(Q["ri_orders_customer"](spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ann_topk_avoids_global_sort(spark, Q):
+    p = plan_of(Q["ann_cosine_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_winnow_single_exchange_carries_fingerprints_not_grams(spark, Q):
+    p = plan_of(Q["winnow_fingerprints_documents"](spark, SF))
+    exchanges = [l for l in p.splitlines() if "Exchange" in l
+                 and "reuse" not in l.lower()]
+    assert len(exchanges) == 1, exchanges
+    assert "doc_id" in exchanges[0]
+
+
+def test_minhash_explode_collapses_map_side(spark, Q):
+    """The shingle explosion must be re-aggregated (partial_min per doc)
+    BEFORE any Exchange — the shuffle carries one row per doc, never the
+    gram stream."""
+    p = plan_of(Q["minhash_lsh_pairs"](spark, SF))
+    lines = p.splitlines()
+    # the SHINGLE explode is the deepest Generate node (plans print
+    # root-first); walking upward from it toward the root, a partial_min
+    # aggregate must appear BEFORE any Exchange
+    shingle_idx = max(
+        i for i, l in enumerate(lines) if "Generate explode" in l and "shingle" in l
+    )
+    for l in reversed(lines[:shingle_idx]):
+        if "partial_min" in l:
+            break
+        assert "Exchange" not in l, "shingle stream reaches an Exchange unaggregated"
+    else:
+        pytest.fail("no partial_min above the shingle explode")
+
+
+def test_salted_collect_set_two_phase_shape(spark, Q):
+    p = plan_of(Q["skewed_user_sets_salted_events"](spark, SF))
+    assert "partial_collect_set" in p            # phase 1 map-side
+    assert "__salt" in p                         # salted exchange key
+    assert "partial_collect_list" in p           # phase 2 map-side merge prep
+
+
+def test_fused_suite_scan_single_filescan_with_partials(spark):
+    from engine import checks, queries as qmod
+
+    ev = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    res = checks.run_suite(ev, qmod.lineitem_suite(), key_cols=["l_orderkey"],
+                           refs={"part": part}, n_buckets=8,
+                           stat_columns=["l_quantity", "l_extendedprice"])
+    # bucket_stats is the fused scan's wide per-bucket partials: ONE FileScan
+    # of the fact table, every conditional sum + stat partial map-side
+    p = plan_of(res.bucket_stats)
+    fact_scans = [l for l in p.splitlines()
+                  if "FileScan" in l and "lineitem" in l]
+    assert len(fact_scans) == 1, fact_scans
+    assert "partial_" in p  # map-side partial aggregation present
+    # pruned read: unchecked/unstatted columns must not be fetched
+    assert "l_comment" not in fact_scans[0] and "l_shipdate" not in fact_scans[0]
+
+
+def test_quantile_threshold_broadcasts_one_row_aggregate(spark, Q):
+    p = plan_of(Q["quantile_threshold_events"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
