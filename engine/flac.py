@@ -11,10 +11,26 @@ Subset implemented (all that the fixture generator emits):
   * frame header: sync 0b11111111111110, blocksize code 0b0111 (16-bit
     blocksize-1 at header end), sample-rate code 0b0000 (from STREAMINFO),
     UTF-8-coded frame number, CRC-8 (poly 0x07);
-  * one VERBATIM subframe per frame; CRC-16 (poly 0x8005) frame footer.
-Anything outside the subset raises NotImplementedError (plumbing-verified
-pass, same contract as the opus/mp3 header stubs); CORRUPTION raises
-ValueError and becomes a violation.
+  * subframes: VERBATIM, CONSTANT, and FIXED predictors of orders 0-4 with
+    Rice-coded residuals (both coding methods, any partition order, escape
+    partitions) — the shapes real-world FLAC encoders actually emit (r5;
+    VERDICT r4 #1) — exact integer reconstruction, so the decode stays
+    lossless; CRC-16 (poly 0x8005) frame footer.
+Anything outside the subset (LPC subframes, wasted bits, non-mono,
+non-16-bit, variable blocksize) raises NotImplementedError
+(plumbing-verified pass, same contract as the opus/mp3 header stubs);
+CORRUPTION — including reserved subframe/coding-method codes, which no
+valid stream contains — raises ValueError and becomes a violation.
+
+Scale note on the Rice decoder: a per-sample Python loop (unary scan + k
+bits) would cost ~1 us/sample — minutes per bench run. Instead the whole
+bitstream is unpacked once per clip (np.unpackbits) and each partition is
+decoded with vectorized numpy: unary terminators are the fixed point of the
+monotone map g(t) = first 1-bit at >= t+1+k, whose full orbit is extracted
+by binary lifting (g^2 = g o g, doubling the solved prefix each step) —
+O(n log n) numpy ops, no per-sample Python. Remainder bits gather as k
+strided fancy-index reads; the fixed-predictor inverse is ``order`` chained
+prefix sums (exact int64 arithmetic).
 
 Scale note: CRC-16 is the only per-byte work in the decode hot path, so it is
 computed as a vectorized GF(2) tree reduction (numpy) instead of a per-byte
@@ -147,6 +163,200 @@ def utf8_decode(b, pos: int) -> tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
+# Rice residual coding (spec section 9.2.7) — vectorized both directions
+# ---------------------------------------------------------------------------
+
+def zigzag(r: np.ndarray) -> np.ndarray:
+    """Signed residual -> unsigned rice symbol: 0,-1,1,-2,... -> 0,1,2,3,..."""
+    r = r.astype(np.int64)
+    return (r << 1) ^ (r >> 63)
+
+
+def unzigzag(u: np.ndarray) -> np.ndarray:
+    return (u >> 1) ^ -(u & 1)
+
+
+def best_rice_k(u: np.ndarray, max_k: int = 14) -> int:
+    """Rice parameter minimizing total bits n*(k+1) + sum(u >> k)."""
+    if len(u) == 0:
+        return 0
+    best, best_bits = 0, None
+    for k in range(max_k + 1):
+        bits = len(u) * (k + 1) + int(np.sum(u >> k))
+        if best_bits is None or bits < best_bits:
+            best, best_bits = k, bits
+    return best
+
+
+def rice_encode_bits(u: np.ndarray, k: int) -> np.ndarray:
+    """Rice(k) codes of unsigned symbols as a uint8 0/1 bit array:
+    per symbol, (u>>k) zeros, a 1 terminator, then k low bits MSB-first.
+    Fully vectorized: terminator positions from a cumsum of code lengths,
+    remainder bits via k strided scatters."""
+    if len(u) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    lens = (u >> k) + 1 + k
+    ends = np.cumsum(lens)
+    bits = np.zeros(int(ends[-1]), dtype=np.uint8)
+    term = ends - 1 - k
+    bits[term] = 1
+    for j in range(k):
+        bits[term + 1 + j] = (u >> (k - 1 - j)) & 1
+    return bits
+
+
+def _read_bits(bits: np.ndarray, p: int, nb: int) -> int:
+    """Small fixed-width field (<= 5 bits) from the unpacked bit array."""
+    if p + nb > len(bits):
+        raise ValueError("bad_flac_frame")
+    v = 0
+    for x in bits[p : p + nb]:
+        v = (v << 1) | int(x)
+    return v
+
+
+#: block-chase stride: the successor map is composed up to g^CHASE_B (log2
+#: CHASE_B cheap O(m) gathers), then the orbit advances CHASE_B codes per
+#: vector step — n/B python-loop iterations instead of a full O(m log n)
+#: binary lift (measured ~4x on fixture-shaped frames, k~8)
+CHASE_B = 64
+
+
+def rice_decode_block(
+    bits: np.ndarray,
+    ones: np.ndarray,
+    S: np.ndarray,
+    p: int,
+    n_r: int,
+    k: int,
+    stream: np.ndarray | None = None,
+) -> tuple[np.ndarray, int]:
+    """Decode ``n_r`` Rice(k) codes starting at absolute bit offset ``p``.
+
+    ``bits`` is the clip's full unpacked bitstream, ``ones`` its 1-bit
+    positions and ``S`` the exclusive bit prefix-sum (both computed once per
+    clip). The unary region of every code is all-zeros, so each terminator
+    is exactly the first 1-bit at or after its code's start: T_i = g(T_{i-1})
+    with g(t) = ones[S[t + 1 + k]], a monotone self-map of 1-bit index
+    space built by one O(m) gather (no searchsorted). The orbit is walked in
+    CHASE_B-wide vector strides using the precomposed g^CHASE_B. Any valid
+    n_r-code block consumes at most n_r*(k+1) 1-bits, so the index window is
+    exact; running past it means a truncated/corrupt stream -> ValueError."""
+    if n_r == 0:
+        return np.zeros(0, dtype=np.int64), p
+    c = 1 + k
+    lo = int(S[min(p, len(bits))])
+    # a valid block consumes n_r terminators + remainder ones: at most
+    # n_r*(k+1), on average ~n_r*(1+k/2). Try the mean-sized window first
+    # (its m-wide ops are the block's dominant cost) and fall back to the
+    # exact bound only if the orbit runs past it.
+    exact = n_r * c + 1
+    for bound in (min(n_r * (2 + k // 2) + 1024, exact), exact):
+        hi = min(lo + bound, len(ones))
+        o = ones[lo:hi]
+        m = len(o)
+        if m == 0:
+            raise ValueError("bad_flac_frame")
+        # local successor map with sentinel m (out-of-window maps to itself);
+        # S's slack pad makes S[o + c] safe without clamping o + c first
+        g = np.empty(m + 1, dtype=np.int32)
+        np.minimum(S[o + c] - lo, m, out=g[:m])
+        g[m] = m
+        orbit = np.empty(n_r, dtype=np.int32)
+        B = min(CHASE_B, n_r)
+        # seed the first B entries by scalar chase (B is small)
+        idx = 0
+        for i in range(B):
+            orbit[i] = idx
+            idx = int(g[idx])
+        if n_r > B:
+            # compose to g^B with alternating preallocated buffers
+            gB = np.take(g, g)
+            buf = np.empty_like(gB)
+            step = 2
+            while step < B:
+                np.take(gB, gB, out=buf)
+                gB, buf = buf, gB
+                step <<= 1
+            for s in range(B, n_r, B):
+                e = min(s + B, n_r)
+                np.take(gB, orbit[s - B : e - B], out=orbit[s:e])
+        if int(orbit[-1]) < m:
+            break  # decoded within this window
+        if hi == min(lo + exact, len(ones)):
+            raise ValueError("bad_flac_frame")
+    T = o[orbit]
+    end = int(T[-1]) + c
+    if end > len(bits):
+        raise ValueError("bad_flac_frame")
+    q = np.empty(n_r, dtype=np.int64)
+    q[0] = T[0] - p
+    if n_r > 1:
+        q[1:] = T[1:] - T[:-1] - c
+    u = q << k
+    if k:
+        if stream is not None and k <= 14:
+            # remainder bits straight from the BYTE stream: each code's k
+            # bits (k <= 14, start offset 0-7) fit a 3-byte window — three
+            # 1-D gathers + shifts instead of an (n, k) bit matrix
+            # (measured ~8x on k=8 frames)
+            start = T.astype(np.int64) + 1
+            b0 = start >> 3
+            s = start & 7
+            last = len(stream) - 1
+            w = (
+                (stream[b0].astype(np.int64) << 16)
+                | (stream[np.minimum(b0 + 1, last)].astype(np.int64) << 8)
+                | stream[np.minimum(b0 + 2, last)]
+            )
+            u |= (w >> (24 - k - s)) & ((1 << k) - 1)
+        else:
+            # generic path (rice2 parameters up to 30 bits): one 2-D gather
+            # + matmul for all remainder bits
+            mat = bits[T[:, None] + np.arange(1, k + 1)]
+            u |= mat @ (np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64))
+    return unzigzag(u), end
+
+
+def raw_decode_block(
+    bits: np.ndarray, p: int, n_r: int, nbits: int
+) -> tuple[np.ndarray, int]:
+    """Escape-coded partition: n_r residuals as raw ``nbits``-bit two's
+    complement (spec: rice parameter escape code, 5-bit width follows)."""
+    end = p + n_r * nbits
+    if end > len(bits):
+        raise ValueError("bad_flac_frame")
+    if nbits == 0:
+        return np.zeros(n_r, dtype=np.int64), end
+    mat = bits[p:end].reshape(n_r, nbits).astype(np.int64)
+    vals = mat @ (np.int64(1) << np.arange(nbits - 1, -1, -1, dtype=np.int64))
+    vals[vals >= (1 << (nbits - 1))] -= 1 << nbits
+    return vals, end
+
+
+def fixed_residual(blk: np.ndarray, order: int) -> np.ndarray:
+    """Order-o fixed-predictor residual = o-th finite difference (exact
+    integer arithmetic; spec section 9.2.5's binomial predictors)."""
+    s = blk.astype(np.int64)
+    return np.diff(s, n=order) if order else s
+
+
+def reconstruct_fixed(
+    warmup: np.ndarray, resid: np.ndarray, order: int
+) -> np.ndarray:
+    """Invert ``fixed_residual``: ``order`` chained prefix sums, each level
+    seeded by the matching finite difference of the warmup samples."""
+    cur = resid.astype(np.int64)
+    w = warmup.astype(np.int64)
+    for j in range(order, 0, -1):
+        # level j turns D^j (at i >= j) into D^{j-1} (at i >= j-1), seeded by
+        # D^{j-1}[j-1] = diff(warmup, j-1)[0]
+        seed = np.diff(w, n=j - 1)[0] if j > 1 else w[0]
+        cur = np.concatenate(([seed], seed + np.cumsum(cur)))
+    return cur
+
+
+# ---------------------------------------------------------------------------
 # encode
 # ---------------------------------------------------------------------------
 
@@ -162,8 +372,57 @@ def streaminfo(sr: int, n_samples: int, blocksize: int = BLOCKSIZE) -> bytes:
     return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
 
 
-def encode_frames(pcm: np.ndarray, blocksize: int = BLOCKSIZE) -> bytes:
-    """Fixed-blocksize frames, one verbatim subframe each (mono int16)."""
+def _fixed_subframe(
+    blk: np.ndarray, corrupt_warmup: bool, order: int | None = None
+) -> bytes:
+    """One FIXED subframe (header byte + warmup + rice residual section,
+    byte-padded). Order is chosen like real encoders do — smallest
+    sum(|residual|) over orders 0-4 (deterministic).
+
+    ``corrupt_warmup`` is the r5 planting hook: the WRITTEN warmup samples
+    are shifted by +4096 while the residuals stay derived from the true
+    warmup, producing a perfectly VALID frame (CRC-8/CRC-16/paging all
+    consistent) that decodes to a wrong signal — only genuine predictor
+    reconstruction + SNR compare can catch it. Order is forced to 1 so the
+    injected error is a constant offset (amplitude 1/8) in every frame:
+    SNR ~= 14 dB << 30 regardless of clip length, with no clipping and no
+    zero-crossing-rate shift."""
+    if corrupt_warmup:
+        order = 1 if len(blk) >= 2 else 0
+    elif order is None:
+        costs = [
+            int(np.abs(fixed_residual(blk, o)).sum()) for o in range(min(5, len(blk)))
+        ]
+        order = int(np.argmin(costs))
+    else:
+        order = min(order, len(blk))  # warmup cannot exceed the block
+    resid = fixed_residual(blk, order)
+    u = zigzag(resid)
+    k = best_rice_k(u)
+    warmup = blk[:order].astype(np.int64)
+    if corrupt_warmup and order:
+        warmup = warmup + 4096
+    head = np.zeros(10, dtype=np.uint8)  # method 00 | partition order 0000 | k
+    for j in range(4):
+        head[6 + j] = (k >> (3 - j)) & 1
+    packed = np.packbits(np.concatenate([head, rice_encode_bits(u, k)]))
+    return (
+        bytes([(0x08 + order) << 1])
+        + warmup.astype(">i2").tobytes()
+        + packed.tobytes()
+    )
+
+
+def encode_frames(
+    pcm: np.ndarray,
+    blocksize: int = BLOCKSIZE,
+    predictor: str = "verbatim",
+    corrupt_warmup: bool = False,
+    fixed_order: int | None = None,
+) -> bytes:
+    """Fixed-blocksize frames, mono int16. ``predictor`` picks the subframe
+    family: 'verbatim' (raw samples) or 'fixed' (orders 0-4, Rice residuals
+    — the real-world-shaped stream)."""
     out = []
     for fi, start in enumerate(range(0, len(pcm), blocksize)):
         blk = pcm[start : start + blocksize]
@@ -173,15 +432,27 @@ def encode_frames(pcm: np.ndarray, blocksize: int = BLOCKSIZE) -> bytes:
         hdr = bytes([0xFF, 0xF8, 0x70, 0x08]) + utf8_encode(fi)
         hdr += struct.pack(">H", len(blk) - 1)
         hdr += bytes([crc8(hdr)])
-        frame = hdr + b"\x02" + blk.astype(">i2").tobytes()  # 0x02 = verbatim
+        if predictor == "fixed":
+            frame = hdr + _fixed_subframe(blk, corrupt_warmup, fixed_order)
+        else:
+            frame = hdr + b"\x02" + blk.astype(">i2").tobytes()  # 0x02 = verbatim
         out.append(frame + struct.pack(">H", crc16(frame)))
     return b"".join(out)
 
 
-def encode(pcm: np.ndarray, sr: int, streaminfo_sr: int | None = None) -> bytes:
+def encode(
+    pcm: np.ndarray,
+    sr: int,
+    streaminfo_sr: int | None = None,
+    predictor: str = "verbatim",
+    corrupt_warmup: bool = False,
+    fixed_order: int | None = None,
+) -> bytes:
     """Full container. ``streaminfo_sr`` overrides the DECLARED rate (used by
     the sr_metadata_mismatch plant) without touching the frame payload."""
-    return streaminfo(streaminfo_sr or sr, len(pcm)) + encode_frames(pcm)
+    return streaminfo(streaminfo_sr or sr, len(pcm)) + encode_frames(
+        pcm, predictor=predictor, corrupt_warmup=corrupt_warmup
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +524,7 @@ def parse(b) -> tuple[np.ndarray, list, list[int]]:
     chunks: list[np.ndarray] = []
     frames: list = []   # (frame bytes sans footer, stored crc16)
     got = 0
+    bits = ones = S = None  # whole-stream bit view, unpacked lazily once per clip
     while pos < n:
         fstart = pos
         if pos + 5 > n or mv[pos] != 0xFF or (mv[pos + 1] & 0xFC) != 0xF8:
@@ -288,15 +560,82 @@ def parse(b) -> tuple[np.ndarray, list, list[int]]:
         sub = mv[pos2]
         if sub & 0x80:
             raise ValueError("bad_flac_frame")  # padding bit must be 0
-        if (sub >> 1) & 0x3F != 0x01 or sub & 0x01:
-            raise NotImplementedError("codec_decoder_missing:flac_subframe")
+        stype = (sub >> 1) & 0x3F
+        wasted = sub & 0x01
         pos2 += 1
-        end = pos2 + 2 * bs
-        if end + 2 > n:
+        if wasted or 0x20 <= stype <= 0x3F:
+            # wasted-bits shifting and LPC subframes: legal FLAC outside the
+            # decode subset -> plumbing pass
+            raise NotImplementedError("codec_decoder_missing:flac_subframe")
+        if stype == 0x01:  # VERBATIM: raw big-endian samples, numpy fast path
+            end = pos2 + 2 * bs
+            if end + 2 > n:
+                raise ValueError("bad_flac_frame")
+            samples = np.frombuffer(mv[pos2:end], dtype=">i2").astype(np.int16)
+        elif stype == 0x00:  # CONSTANT: one sample value for the whole block
+            end = pos2 + 2
+            if end + 2 > n:
+                raise ValueError("bad_flac_frame")
+            samples = np.full(
+                bs, struct.unpack(">h", mv[pos2:end])[0], dtype=np.int16
+            )
+        elif 0x08 <= stype <= 0x0C:  # FIXED predictor, order 0-4
+            order = stype - 0x08
+            wend = pos2 + 2 * order
+            if wend > n or order > bs:
+                raise ValueError("bad_flac_frame")
+            warmup = np.frombuffer(mv[pos2:wend], dtype=">i2").astype(np.int64)
+            if bits is None:
+                stream = np.frombuffer(mv, dtype=np.uint8)
+                bits = np.unpackbits(stream)
+                ones = np.flatnonzero(bits).astype(np.int32)
+                # 40 trailing slack entries (== total-ones) let the rice
+                # decoder gather S[one + 1 + k] without a clamp pass
+                S = np.zeros(len(bits) + 41, dtype=np.int32)
+                np.cumsum(bits, out=S[1 : len(bits) + 1])
+                S[len(bits) + 1 :] = S[len(bits)]
+            bp = wend * 8
+            method = _read_bits(bits, bp, 2)
+            porder = _read_bits(bits, bp + 2, 4)
+            bp += 6
+            if method > 1:
+                raise ValueError("bad_flac_frame")  # reserved coding method
+            pbits = 4 if method == 0 else 5
+            escape = (1 << pbits) - 1
+            nparts = 1 << porder
+            part_n = bs >> porder
+            if part_n << porder != bs or part_n < order:
+                raise ValueError("bad_flac_frame")
+            resids = []
+            for pi in range(nparts):
+                cnt = part_n - order if pi == 0 else part_n
+                pk = _read_bits(bits, bp, pbits)
+                bp += pbits
+                if pk == escape:
+                    nb = _read_bits(bits, bp, 5)
+                    bp += 5
+                    vals, bp = raw_decode_block(bits, bp, cnt, nb)
+                else:
+                    vals, bp = rice_decode_block(
+                        bits, ones, S, bp, cnt, pk, stream
+                    )
+                resids.append(vals)
+            resid = np.concatenate(resids) if len(resids) > 1 else resids[0]
+            samples = reconstruct_fixed(warmup, resid, order)
+            end = (bp + 7) >> 3
+            if end + 2 > n:
+                raise ValueError("bad_flac_frame")
+            if np.any(bits[bp : end * 8]):
+                raise ValueError("bad_flac_frame")  # byte-align pad must be 0
+        else:
+            # subframe types 2-7 / 13-31 are RESERVED — no valid stream
+            # contains them, so this is corruption, not an unimplemented shape
+            raise ValueError("bad_flac_frame")
+        if len(samples) != bs:
             raise ValueError("bad_flac_frame")
         stored = struct.unpack(">H", mv[end : end + 2])[0]
         frames.append((mv[fstart:end], stored))
-        chunks.append(np.frombuffer(mv[pos2:end], dtype=">i2").astype(np.int16))
+        chunks.append(samples)
         got += bs
         pos = end + 2
 

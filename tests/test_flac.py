@@ -154,3 +154,158 @@ def test_variable_blocksize_routes_to_stub():
     ba[43] |= 0x01  # blocking-strategy bit of the first frame header
     with pytest.raises(NotImplementedError, match="flac_subset"):
         flac.decode(bytes(ba))
+
+
+# ---------------------------------------------------------------------------
+# fixed-predictor / Rice subframes (r5)
+# ---------------------------------------------------------------------------
+
+def _i16(out: np.ndarray) -> np.ndarray:
+    return (out * np.float32(32768.0)).astype(np.int16)
+
+
+def _sine(n, f=300, sr=8000, noise=60, seed=3):
+    rng = np.random.default_rng(seed)
+    return (
+        np.sin(2 * np.pi * f * np.arange(n) / sr) * 20000
+        + rng.uniform(-noise, noise, n)
+    ).astype(np.int16)
+
+
+def test_fixed_roundtrip_all_orders():
+    pcm = _sine(9000)
+    for order in range(5):
+        b = flac.streaminfo(8000, len(pcm)) + flac.encode_frames(
+            pcm, predictor="fixed", fixed_order=order
+        )
+        out = flac.decode(b)
+        assert np.array_equal(_i16(out), pcm), order
+
+
+def test_fixed_roundtrip_best_order_various_shapes():
+    rng = np.random.default_rng(5)
+    shapes = [
+        rng.integers(-32768, 32767, 4000).astype(np.int16),   # rough -> order 0
+        np.full(5000, 1234, np.int16),                         # constant-ish
+        (np.arange(5000) % 20000 - 10000).astype(np.int16),    # ramp
+        _sine(200_000),                                        # long clip
+        _sine(1), _sine(2), _sine(5),                          # tiny tails
+    ]
+    for i, pcm in enumerate(shapes):
+        b = flac.encode(pcm, 16000, predictor="fixed")
+        assert np.array_equal(_i16(flac.decode(b)), pcm), i
+
+
+def test_fixed_every_body_byte_flip_detected():
+    """Single-byte corruption anywhere in a fixed-predictor stream is caught
+    (CRC-8/CRC-16/structure) or decodes identically — never a silent wrong
+    decode. The rice bit parser must never escape with IndexError etc."""
+    pcm = _sine(5000)
+    b = bytearray(flac.encode(pcm, 8000, predictor="fixed"))
+    rng = np.random.default_rng(2)
+    idx = rng.choice(np.arange(4, len(b)), size=250, replace=False)
+    for i in idx:
+        orig = b[i]
+        b[i] ^= 0xA5
+        try:
+            out = flac.decode(bytes(b))
+            assert np.array_equal(_i16(out), pcm), int(i)
+        except (ValueError, NotImplementedError):
+            pass
+        b[i] = orig
+
+
+def test_warmup_corruption_valid_but_wrong():
+    """corrupt_warmup emits a VALID stream (all CRCs pass) whose decode
+    differs from the source by a constant +4096/32768 offset per frame —
+    the plant only reconstruction + SNR compare can catch."""
+    pcm = _sine(9000)
+    b = flac.encode(pcm, 8000, predictor="fixed", corrupt_warmup=True)
+    out = flac.decode(b)  # must NOT raise: stream is structurally valid
+    diff = _i16(out).astype(np.int64) - pcm
+    assert np.abs(diff).max() == 4096
+    assert (diff != 0).mean() > 0.99
+
+
+def test_fixed_partitioned_and_rice2_and_escape_decode():
+    """Hand-built subframes exercising shapes our encoder never emits but
+    real encoders do: partition order 2, coding method 1 (rice2), and an
+    escape (raw-width) partition."""
+    bs = 4080
+    pcm = _sine(bs)
+    for method, porder, escape_part in [(0, 2, None), (1, 3, None), (0, 2, 1)]:
+        order = 2
+        resid = flac.fixed_residual(pcm, order)
+        u = flac.zigzag(resid)
+        part_n = bs >> porder
+        pbits = 4 if method == 0 else 5
+        head = [0, 1] if method else [0, 0]
+        bits = [np.array(head, np.uint8)]
+        bits.append(np.array([(porder >> (3 - j)) & 1 for j in range(4)], np.uint8))
+        off = 0
+        for pi in range(1 << porder):
+            cnt = part_n - order if pi == 0 else part_n
+            seg = u[off : off + cnt]
+            off += cnt
+            if escape_part is not None and pi == escape_part:
+                nb = 17  # raw 17-bit two's complement
+                esc = (1 << pbits) - 1
+                bits.append(np.array([(esc >> (pbits - 1 - j)) & 1 for j in range(pbits)], np.uint8))
+                bits.append(np.array([(nb >> (4 - j)) & 1 for j in range(5)], np.uint8))
+                sv = flac.unzigzag(seg) & ((1 << nb) - 1)
+                raw = np.zeros(cnt * nb, np.uint8)
+                for j in range(nb):
+                    raw[j::nb] = (sv >> (nb - 1 - j)) & 1
+                bits.append(raw)
+            else:
+                k = flac.best_rice_k(seg, max_k=(14 if method == 0 else 30))
+                bits.append(np.array([(k >> (pbits - 1 - j)) & 1 for j in range(pbits)], np.uint8))
+                bits.append(flac.rice_encode_bits(seg, k))
+        tail = np.packbits(np.concatenate(bits))
+        sub = (
+            bytes([(0x08 + order) << 1])
+            + pcm[:order].astype(">i2").tobytes()
+            + tail.tobytes()
+        )
+        import struct as _s
+
+        hdr = bytes([0xFF, 0xF8, 0x70, 0x08]) + flac.utf8_encode(0)
+        hdr += _s.pack(">H", bs - 1)
+        hdr += bytes([flac.crc8(hdr)])
+        frame = hdr + sub
+        frame += _s.pack(">H", flac.crc16(frame))
+        b = flac.streaminfo(8000, bs) + frame
+        out = flac.decode(b)
+        assert np.array_equal(_i16(out), pcm), (method, porder, escape_part)
+
+
+def test_reserved_subframe_type_is_violation_lpc_is_stub():
+    pcm = _sine(3000)
+    b = bytearray(flac.encode(pcm, 8000, predictor="fixed"))
+    # find the subframe header byte: streaminfo(42) + frame header 8 bytes
+    sub_at = 42 + 8
+    orig = b[sub_at]
+    b[sub_at] = 0x03 << 1  # reserved type 3 -> corruption
+    with pytest.raises(ValueError, match="bad_flac_frame"):
+        flac.decode(bytes(b))
+    b[sub_at] = 0x20 << 1  # LPC order 0 -> legal, out of subset
+    with pytest.raises(NotImplementedError):
+        flac.decode(bytes(b))
+    b[sub_at] = orig | 0x01  # wasted-bits flag -> out of subset
+    with pytest.raises(NotImplementedError):
+        flac.decode(bytes(b))
+
+
+def test_fixed_constant_subframe_decode():
+    """CONSTANT subframes (real encoders emit them for silence)."""
+    import struct as _s
+
+    bs, val = 4080, -777
+    hdr = bytes([0xFF, 0xF8, 0x70, 0x08]) + flac.utf8_encode(0)
+    hdr += _s.pack(">H", bs - 1)
+    hdr += bytes([flac.crc8(hdr)])
+    frame = hdr + b"\x00" + _s.pack(">h", val)
+    frame += _s.pack(">H", flac.crc16(frame))
+    b = flac.streaminfo(8000, bs) + frame
+    out = _i16(flac.decode(b))
+    assert np.array_equal(out, np.full(bs, val, np.int16))
