@@ -1131,7 +1131,7 @@ _AUDIO_INV_ORACLE = f"""
     v AS (
       SELECT i,
         NOT (i % 2000 = 13 OR i % 3000 = 41 OR i % 2000 = 47
-             OR i % 3000 = 53) AS pcm_ok,
+             OR i % 3000 = 53 OR i % 2000 = 59) AS pcm_ok,
         NOT (i % 2000 = 29 OR i % 500 = 3 OR i % 1000 = 37) AS transcript_ok,
         NOT (i % 4000 = 43) AS meta_sr_ok,
         CASE WHEN i % 3000 = 41 THEN
@@ -1657,9 +1657,11 @@ _CLIPS_FULL_ORACLE = f"""
       UNION ALL SELECT 'pcm_snr_invariant',
         -- wav PCM corruption + container-header corruption + flac frame-body
         -- corruption (real decode) + opus/mp3 mid-chain corruption (full
-        -- page/frame-chain validation)
+        -- page/frame-chain validation) + fixed-predictor warmup corruption
+        -- (every CRC valid; only reconstruction + SNR sees it, r5)
         (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 13 OR i % 3000 = 41
                                         OR i % 2000 = 47 OR i % 3000 = 53
+                                        OR i % 2000 = 59
                                        THEN w ELSE 0 END), 0) AS BIGINT) FROM b)
       UNION ALL SELECT 'transcript_equality',
         (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 29 OR i % 500 = 3

@@ -47,6 +47,10 @@ RULES = {
     "container_body_corrupt": (3000, 53),    # opus/mp3: corruption PAST the first
                                              # page/frame — only a full chain walk
                                              # (page CRCs / frame-sync hops) sees it
+    "flac_warmup_corrupt": (2000, 59),       # fixed-predictor frames whose WRITTEN
+                                             # warmup samples are shifted: every CRC
+                                             # verifies, only genuine predictor
+                                             # reconstruction + SNR sees it (r5)
 }
 
 #: codec cycle for container_body_corrupt plants (same pattern as the header
@@ -180,6 +184,8 @@ def ogg_flac_bytes(
     pcm: np.ndarray,
     streaminfo_sr: int | None = None,
     corrupt_frames: bool = False,
+    predictor: str = "verbatim",
+    corrupt_warmup: bool = False,
 ) -> bytes:
     """Ogg-encapsulated FLAC (the xiph 'FLAC-to-Ogg mapping', public spec):
     BOS page carries one packet [0x7F 'FLAC' major=1 minor=0 n_header(2 BE)
@@ -203,7 +209,9 @@ def ogg_flac_bytes(
     )
     vc = struct.pack("<I", 0) + struct.pack("<I", 0)  # empty vendor, 0 tags
     vc_packet = bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
-    frames = flac_mod.encode_frames(pcm)
+    frames = flac_mod.encode_frames(
+        pcm, predictor=predictor, corrupt_warmup=corrupt_warmup
+    )
     if corrupt_frames:
         ba = bytearray(frames)
         for k in range(18, min(34, len(ba))):  # inside the first frame body
@@ -404,9 +412,20 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
             # plant that proves the flac decode seam is genuinely exercised
             codec = "flac"
 
+        warmup_corrupt = _hit(np.array([i]), "flac_warmup_corrupt")[0]
+        if warmup_corrupt:
+            # fixed-predictor stream with shifted WRITTEN warmup samples:
+            # every CRC (page + frame + header) verifies, so only genuine
+            # predictor reconstruction + the SNR compare can catch it (r5)
+            codec = "flac"
+
         if codec == "flac":
             from engine import flac as flac_mod
 
+            # half the flac mix ships REAL-WORLD-SHAPED streams: fixed
+            # predictors (orders 0-4, best-order) with Rice-coded residuals
+            # (r5); the other half stays verbatim — both decode losslessly
+            predictor = "fixed" if i % 2 == 1 else "verbatim"
             sig = clean_pcm(i, sr, max(dur, 200))
             pcm = _noisy_pcm16(i, sig)
             if corrupt_payload:
@@ -422,12 +441,19 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
                     sr, pcm,
                     streaminfo_sr=sr * 2 if sr_mismatch else None,
                     corrupt_frames=bool(body_corrupt),
+                    predictor=predictor,
+                    corrupt_warmup=bool(warmup_corrupt),
                 )
             else:
-                b = flac_mod.encode(pcm, sr, streaminfo_sr=sr * 2 if sr_mismatch else None)
+                b = flac_mod.encode(
+                    pcm, sr,
+                    streaminfo_sr=sr * 2 if sr_mismatch else None,
+                    predictor=predictor,
+                    corrupt_warmup=bool(warmup_corrupt),
+                )
                 if body_corrupt:
                     ba = bytearray(b)
-                    for k in range(60, 76):  # inside the first verbatim frame
+                    for k in range(60, 76):  # inside the first frame's body
                         ba[k] ^= 0xA5
                     b = bytes(ba)
             if corrupt_header:

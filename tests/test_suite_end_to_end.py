@@ -113,8 +113,28 @@ def test_audio_invariants_exact(result):
         | set(manifest["container_header_corrupt"])
         | set(manifest["flac_body_corrupt"])
         | set(manifest["container_body_corrupt"])
+        | set(manifest["flac_warmup_corrupt"])
     )
     assert got == expected
+
+
+def test_flac_warmup_corruption_caught(result):
+    """The planted fixed-predictor clips carry shifted WRITTEN warmup
+    samples in a stream where every CRC (header CRC-8, frame CRC-16, Ogg
+    page CRC-32) verifies — a pure-structure validator cannot see them.
+    They must be flagged by the SNR compare after genuine predictor
+    reconstruction, so the offending value is the (failing) SNR, not a
+    decode error."""
+    manifest = synth.plant_manifest(N)
+    assert len(manifest["flac_warmup_corrupt"]) >= 2  # N=4000: ids 59, 2059
+    rows = {
+        r["clip_id"]: r["offending_value"]
+        for r in result.violations["pcm_snr_invariant"].collect()
+    }
+    for cid in manifest["flac_warmup_corrupt"]:
+        assert cid in rows, cid
+        snr = float(rows[cid])  # raises if it's a decode-error string
+        assert snr < 30.0, (cid, snr)
 
 
 def test_container_chain_corruption_caught(result):
@@ -161,6 +181,8 @@ def test_flac_roundtrip_snr(fixture_tables):
     bad = (
         set(manifest["container_header_corrupt"])
         | set(manifest["flac_body_corrupt"])
+        | set(manifest["payload_corrupt"])       # garbage-signal flac plants
+        | set(manifest["flac_warmup_corrupt"])   # valid stream, wrong signal
     )
     sample = [
         r for r in clips.filter("codec = 'flac'")
