@@ -285,6 +285,13 @@ def _decode_ogg_flac_parts(b):
     pages, stored, payloads = walk_ogg_pages(b, collect_payloads=True)
     first = payloads[0] if payloads else b""
     if len(first) < 9 or first[:5] != b"\x7fFLAC":
+        # a RECOGNIZABLE non-FLAC mapping under codec='flac' is a
+        # cross-field inconsistency (the column lies about the payload), not
+        # an unimplemented shape — flag it instead of plumbing-passing
+        # (ADVICE r4). Unknown mappings stay out-of-subset.
+        for magic in (b"OpusHead", b"\x01vorbis", b"Speex   "):
+            if first[: len(magic)] == magic:
+                raise ValueError("codec_container_mismatch")
         raise NotImplementedError("codec_decoder_missing:ogg_mapping")
     native = first[9:] + b"".join(payloads[1:])
     pcm, frames, fstored = flac_mod.parse(native)
@@ -406,7 +413,9 @@ class FixtureExpected:
         return row
 
     def __call__(self, clip_id: str, sr: int, dur_ms: int) -> np.ndarray:
-        i = int(clip_id.split("_")[1])
+        # same parse as ``prepare`` (rsplit): ids with extra underscores must
+        # derive the same numeric id on both paths (ADVICE r4)
+        i = int(clip_id.rsplit("_", 1)[1])
         return synth.clean_pcm32(i, sr, max(dur_ms, 200)) * self._SCALE
 
 

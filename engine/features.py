@@ -52,11 +52,13 @@ def pcm_features(pcm: np.ndarray, sr: int) -> tuple[float, float, float, float]:
     # zero-crossing rate: fraction of adjacent pairs changing sign
     s = np.signbit(pcm)
     zcr = float(np.count_nonzero(s[1:] != s[:-1])) / max(n - 1, 1)
-    # dominant frequency: rFFT magnitude peak (exclude DC)
+    # dominant frequency: rFFT magnitude peak (exclude DC); bin k maps to
+    # k*sr/n with the ORIGINAL sample count n — reconstructing n from the
+    # rFFT length is off by one for odd n (ADVICE r4)
     spec = np.abs(np.fft.rfft(pcm.astype(np.float64)))
     if len(spec) > 1:
         k = int(np.argmax(spec[1:])) + 1
-        dominant = k * sr / (2.0 * (len(spec) - 1))
+        dominant = k * sr / n
     else:
         dominant = 0.0
     clipped = float(np.count_nonzero(np.abs(pcm) >= (32767.0 / 32768.0))) / n
@@ -119,6 +121,52 @@ def audio_features(clips: DataFrame) -> DataFrame:
     )
 
 
+#: 44-byte canonical WAV header templates keyed by (sr, data_len) — the
+#: segmenter emits millions of identically-shaped headers at high fan-out,
+#: so struct-packing one per segment was the op's hot loop (VERDICT r4 #4)
+_WAV_HDR_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _wav_header_u8(sr: int, data_len: int) -> np.ndarray:
+    hdr = _WAV_HDR_CACHE.get((sr, data_len))
+    if hdr is None:
+        import struct
+
+        hdr = np.frombuffer(
+            struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + data_len, b"WAVE",
+                b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
+                b"data", data_len,
+            ),
+            dtype=np.uint8,
+        )
+        _WAV_HDR_CACHE[(sr, data_len)] = hdr
+    return hdr
+
+
+def segment_wavs(i16: np.ndarray, sr: int, step: int) -> list[bytes]:
+    """Split int16 PCM into ``step``-sample canonical WAVs (partial tail
+    kept): all full segments are built as ONE [header | data] byte matrix —
+    two vectorized fills + per-row tobytes, no per-segment struct.pack."""
+    nfull, rem = divmod(len(i16), step)
+    out: list[bytes] = []
+    if nfull:
+        row = 44 + 2 * step
+        mat = np.empty((nfull, row), dtype=np.uint8)
+        mat[:, :44] = _wav_header_u8(sr, 2 * step)
+        mat[:, 44:] = (
+            np.ascontiguousarray(i16[: nfull * step].astype("<i2"))
+            .reshape(nfull, step)
+            .view(np.uint8)
+        )
+        out.extend(m.tobytes() for m in mat)
+    if rem:
+        tail = i16[nfull * step :].astype("<i2").tobytes()
+        out.append(_wav_header_u8(sr, 2 * rem).tobytes() + tail)
+    return out
+
+
 def segment_clips(clips: DataFrame, seg_ms: int = 1000) -> DataFrame:
     """Frame-sample: explode each decodable clip into fixed-length WAV
     segments (final partial segment kept). Output rows:
@@ -126,7 +174,6 @@ def segment_clips(clips: DataFrame, seg_ms: int = 1000) -> DataFrame:
     corrupt clips contribute zero rows — segmentation is a PREP step, the
     invariant pass is where corruption is reported."""
     from engine import audio as audio_mod
-    from engine.synth import wav_bytes
 
     def run(batches):
         import pyarrow as pa
@@ -148,13 +195,16 @@ def segment_clips(clips: DataFrame, seg_ms: int = 1000) -> DataFrame:
                 sr = int(srs[j])
                 step = max(int(sr * seg_ms / 1000), 1)
                 i16 = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
-                for k, start in enumerate(range(0, len(i16), step)):
-                    seg = i16[start : start + step]
-                    o_id.append(clip_ids[j])
-                    o_idx.append(k)
-                    o_bytes.append(wav_bytes(seg, sr))
-                    o_sr.append(sr)
-                    o_dur.append(int(len(seg) * 1000 / sr))
+                segs = segment_wavs(i16, sr, step)
+                n_f, rem = divmod(len(i16), step)
+                o_id.extend([clip_ids[j]] * len(segs))
+                o_idx.extend(range(len(segs)))
+                o_bytes.extend(segs)
+                o_sr.extend([sr] * len(segs))
+                full_dur = int(step * 1000 / sr)
+                o_dur.extend([full_dur] * n_f)
+                if rem:
+                    o_dur.append(int(rem * 1000 / sr))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_id, type=pa.string()),

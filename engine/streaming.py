@@ -49,6 +49,10 @@ def stream_validate(
     clip table gets the identical 10-constraint validation as a batch run,
     and cumulative verdicts still merge by groupBy(constraint).sum because
     micro-batches partition the rows."""
+    if check_audio and transcripts is None:
+        # silently skipping the requested audio pass would report clean
+        # verdicts the caller never computed (ADVICE r4)
+        raise ValueError("check_audio=True requires a transcripts DataFrame")
     row_local = suite.row_local()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

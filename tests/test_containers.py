@@ -208,10 +208,22 @@ def test_ogg_flac_garbage_signal_fails_snr_only():
     assert audio.snr_db(expected, out) < 5.0
 
 
-def test_ogg_non_flac_mapping_is_out_of_subset_for_flac_codec():
+def test_ogg_known_non_flac_mapping_under_flac_codec_is_violation():
+    """codec='flac' over a recognizable Ogg-Opus payload is a cross-field
+    metadata lie, not an unimplemented shape (ADVICE r4): it must be a
+    violation, never a plumbing pass."""
     b = ogg_opus_bytes(8000, b"\x01" * 2000)  # OpusHead mapping, codec says flac
-    with pytest.raises(NotImplementedError, match="ogg_mapping"):
+    with pytest.raises(ValueError, match="codec_container_mismatch"):
         audio.decode(b, "flac")
+
+
+def test_ogg_unknown_mapping_stays_out_of_subset_for_flac_codec():
+    from engine.synth import ogg_page
+
+    head = b"MyCodecX" + b"\x00" * 12            # unrecognized mapping magic
+    pages = [ogg_page(0, 0, 0x02, head), ogg_page(1, 0, 0x04, b"\x01" * 100)]
+    with pytest.raises(NotImplementedError, match="ogg_mapping"):
+        audio.decode(b"".join(pages), "flac")
 
 
 def test_mp3_mid_chain_version_flip_stays_violation():

@@ -124,3 +124,18 @@ def test_speech_rate_invariant_fuses_and_flags(spark):
     assert v == {"speech_rate_le_6.0": 1}
     bad = res.violations["speech_rate_le_6.0"].select("clip_id").collect()
     assert {r["clip_id"] for r in bad} == {"b"}
+
+
+def test_dominant_hz_odd_length_uses_true_sample_count():
+    """Bin -> Hz conversion must use the original n, not 2*(rfft_len-1),
+    which is off by one for odd n (ADVICE r4)."""
+    import numpy as np
+
+    from engine.features import pcm_features
+
+    sr = 8000
+    for n in (4001, 4000):
+        f = 1000.0
+        pcm = np.sin(2 * np.pi * f * np.arange(n) / sr).astype(np.float32)
+        _, _, dom, _ = pcm_features(pcm, sr)
+        assert abs(dom - f) < sr / n + 1e-9, (n, dom)
