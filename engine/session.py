@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("TSAD_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fat-binary scan sizing (r5 spill probe): the vectorized parquet
+        # reader buffers columnarReaderBatchSize ROWS per task — at the
+        # default 4096 that is ~90 MB per task for ~22 KB audio payload rows,
+        # and 32 concurrent scan tasks OOM any executor heap under ~12 GB
+        # BEFORE any operator runs. 1024 caps per-task scan buffers at
+        # ~22 MB (negligible for narrow tables, which batch by row count
+        # anyway) so heap sizing is governed by the ENGINE's state, not the
+        # reader. This is the knob a 100 TB deployment must ship with.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
     )
     if extra_conf:
         for k, v in extra_conf.items():
