@@ -11,12 +11,14 @@ Subset implemented (all that the fixture generator emits):
   * frame header: sync 0b11111111111110, blocksize code 0b0111 (16-bit
     blocksize-1 at header end), sample-rate code 0b0000 (from STREAMINFO),
     UTF-8-coded frame number, CRC-8 (poly 0x07);
-  * subframes: VERBATIM, CONSTANT, and FIXED predictors of orders 0-4 with
-    Rice-coded residuals (both coding methods, any partition order, escape
-    partitions) — the shapes real-world FLAC encoders actually emit (r5;
-    VERDICT r4 #1) — exact integer reconstruction, so the decode stays
-    lossless; CRC-16 (poly 0x8005) frame footer.
-Anything outside the subset (LPC subframes, wasted bits, non-mono,
+  * subframes: VERBATIM, CONSTANT, FIXED predictors of orders 0-4, and
+    LPC of any order 1-32 (quantized Levinson-Durbin coefficients, exact
+    integer inverse filter) with Rice-coded residuals (both coding methods,
+    any partition order, escape partitions) — the full set of shapes
+    real-world FLAC encoders emit (r5/r5b; VERDICT r4 #1) — exact integer
+    reconstruction, so the decode stays lossless; CRC-16 (poly 0x8005)
+    frame footer.
+Anything outside the subset (wasted bits, non-mono,
 non-16-bit, variable blocksize) raises NotImplementedError
 (plumbing-verified pass, same contract as the opus/mp3 header stubs);
 CORRUPTION — including reserved subframe/coding-method codes, which no
@@ -318,29 +320,39 @@ def rice_decode_block(
     return unzigzag(u), end
 
 
-def _decode_fixed_subframe(
-    mv, stream: np.ndarray, n: int, wend: int, bs: int, order: int,
-    warmup: np.ndarray,
+def _peek_bits(mv, n: int, start_bit: int, nb: int) -> int:
+    """Up to 16 bits at an arbitrary absolute bit offset, straight from the
+    byte stream (no unpack) — used to size the local window."""
+    b0 = start_bit >> 3
+    if b0 + 1 > n:
+        raise ValueError("bad_flac_frame")
+    w = 0
+    for j in range(4):
+        w = (w << 8) | (mv[b0 + j] if b0 + j < n else 0)
+    return (w >> (32 - (start_bit & 7) - nb)) & ((1 << nb) - 1)
+
+
+def _decode_residual_section(
+    mv, stream: np.ndarray, n: int, start_bit: int, bs: int, order: int
 ) -> tuple[np.ndarray, int]:
-    """Decode one FIXED subframe's residual section starting at byte
-    ``wend`` (right after the warmup samples); returns (samples, end_byte).
+    """Decode a coded-residual section (spec 9.2.7: 2-bit method, 4-bit
+    partition order, rice/escape partitions) starting at the absolute BIT
+    offset ``start_bit`` — byte-aligned for FIXED subframes, arbitrary for
+    LPC (the coefficient fields before it are not byte-padded). Returns
+    (residuals, end_byte) after verifying the zero byte-align padding.
 
     The bit machinery (unpackbits / flatnonzero / prefix-sum) runs on a
     FRAME-LOCAL window sized from the first partition's rice parameter, not
     the whole clip: per-frame arrays stay L2-resident, which at 32-way
-    parallelism beats whole-clip precomputation by ~2x (the r4 CRC-fold
-    lesson again — DRAM-bound transient arrays throttle wide parallelism).
-    If the window undershoots (later partitions with bigger parameters,
+    parallelism beats whole-clip precomputation (the r4 CRC-fold lesson
+    again — DRAM-bound transient arrays throttle wide parallelism). If the
+    window undershoots (later partitions with bigger parameters,
     quotient-heavy streams), it grows 4x and retries; a window reaching the
     stream end re-raises the genuine error."""
-    if wend + 2 > n:
-        raise ValueError("bad_flac_frame")
-    b0 = mv[wend]
-    b1 = mv[wend + 1]
-    method = b0 >> 6
+    method = _peek_bits(mv, n, start_bit, 2)
     if method > 1:
         raise ValueError("bad_flac_frame")  # reserved coding method
-    porder = (b0 >> 2) & 0xF
+    porder = _peek_bits(mv, n, start_bit + 2, 4)
     pbits = 4 if method == 0 else 5
     escape = (1 << pbits) - 1
     nparts = 1 << porder
@@ -350,12 +362,13 @@ def _decode_fixed_subframe(
     # window sized from the first partition's parameter (peeked straight
     # from the bytes): mean code length is ~k+2 bits, +4 covers heavy
     # quotients; escape partitions / undershoot hit the retry path
-    k0 = ((b0 & 0x3) << 2) | (b1 >> 6) if method == 0 else (
-        (b0 & 0x3) << 3) | (b1 >> 5)
+    k0 = _peek_bits(mv, n, start_bit + 6, pbits)
+    wstart = start_bit >> 3
+    off = start_bit - wstart * 8  # 0-7: local bit offset of the section
     W = (bs * (k0 + 4)) // 8 + 96
     while True:
-        wlimit = min(wend + W, n)
-        local = stream[wend:wlimit]
+        wlimit = min(wstart + W, n)
+        local = stream[wstart:wlimit]
         bits = np.unpackbits(local)
         ones = np.flatnonzero(bits).astype(np.int32)
         # 40 trailing slack entries let the rice decoder gather
@@ -364,7 +377,7 @@ def _decode_fixed_subframe(
         np.cumsum(bits, out=S[1 : len(bits) + 1])
         S[len(bits) + 1 :] = S[len(bits)]
         try:
-            bp = 6  # local bit offset: method(2) + partition order(4)
+            bp = off + 6  # method(2) + partition order(4)
             resids = []
             for pi in range(nparts):
                 cnt = part_n - order if pi == 0 else part_n
@@ -378,12 +391,12 @@ def _decode_fixed_subframe(
                     vals, bp = rice_decode_block(bits, ones, S, bp, cnt, pk, local)
                 resids.append(vals)
             resid = np.concatenate(resids) if len(resids) > 1 else resids[0]
-            end = wend + ((bp + 7) >> 3)
+            end = wstart + ((bp + 7) >> 3)
             if end + 2 > n:
                 raise ValueError("bad_flac_frame")
-            if np.any(bits[bp : (end - wend) * 8]):
+            if np.any(bits[bp : (end - wstart) * 8]):
                 raise ValueError("bad_flac_frame")  # byte-align pad must be 0
-            return reconstruct_fixed(warmup, resid, order), end
+            return resid, end
         except ValueError:
             if wlimit < n:  # the window, not the stream, may have run out
                 W *= 4
@@ -412,6 +425,60 @@ def fixed_residual(blk: np.ndarray, order: int) -> np.ndarray:
     integer arithmetic; spec section 9.2.5's binomial predictors)."""
     s = blk.astype(np.int64)
     return np.diff(s, n=order) if order else s
+
+
+def lpc_predict(s: np.ndarray, coefs, shift: int, order: int) -> np.ndarray:
+    """Vectorized forward prediction over KNOWN samples (encoder side — no
+    feedback): pred[i] = (sum_j c_j * s[i-j]) >> shift for i in
+    [order, len(s))."""
+    s = s.astype(np.int64)
+    acc = np.zeros(len(s) - order, dtype=np.int64)
+    for j, c in enumerate(coefs):  # c_1 applies to s[i-1], etc.
+        acc += int(c) * s[order - 1 - j : len(s) - 1 - j]
+    return acc >> shift
+
+
+def lpc_reconstruct(warmup, resid: np.ndarray, coefs, shift: int) -> np.ndarray:
+    """Exact integer LPC inverse filter: s[i] = r[i] +
+    ((sum_j c_j*s[i-1-j]) >> shift). The arithmetic shift inside the
+    feedback loop makes this genuinely sequential (the truncation is
+    nonlinear, so no prefix-sum/lifting trick applies and a float IIR is
+    not bit-exact) — a plain-int Python loop is the honest implementation.
+    Cost ~0.1 us per sample per coefficient; the fixture bounds LPC to a
+    small share of the flac mix and BENCH.md carries the measured cost."""
+    order = len(coefs)
+    out = [int(x) for x in warmup]
+    co = [int(c) for c in coefs]
+    sh = int(shift)
+    # divergence guard: valid 16-bit-audio state never leaves this range;
+    # a corrupt stream's feedback loop can grow without bound (unbounded
+    # Python ints), which must surface as a violation, not an OverflowError
+    LIM = 1 << 34
+    if order == 8:  # the fixture encoder's order — unrolled
+        c0, c1, c2, c3, c4, c5, c6, c7 = co
+        s0, s1, s2, s3, s4, s5, s6, s7 = out[-1], out[-2], out[-3], out[-4], \
+            out[-5], out[-6], out[-7], out[-8]
+        app = out.append
+        for r in resid.tolist():
+            v = int(r) + (
+                (c0 * s0 + c1 * s1 + c2 * s2 + c3 * s3 + c4 * s4
+                 + c5 * s5 + c6 * s6 + c7 * s7) >> sh
+            )
+            if not -LIM < v < LIM:
+                raise ValueError("bad_flac_frame")
+            app(v)
+            s0, s1, s2, s3, s4, s5, s6, s7 = v, s0, s1, s2, s3, s4, s5, s6
+    else:
+        rng = range(order)
+        for r in resid.tolist():
+            acc = 0
+            for j in rng:
+                acc += co[j] * out[-1 - j]
+            v = int(r) + (acc >> sh)
+            if not -LIM < v < LIM:
+                raise ValueError("bad_flac_frame")
+            out.append(v)
+    return np.array(out, dtype=np.int64)
 
 
 def reconstruct_fixed(
@@ -486,6 +553,63 @@ def _fixed_subframe(
     )
 
 
+def _lpc_subframe(blk: np.ndarray, order: int = 8, precision: int = 12) -> bytes:
+    """One LPC subframe: Levinson-Durbin coefficients quantized to
+    ``precision`` bits, residual computed with EXACT integer prediction
+    (so decode is lossless), Rice-coded. Falls back to the fixed-predictor
+    family when the block is too short or degenerate."""
+    n = len(blk)
+    if n <= order + 1:
+        return _fixed_subframe(blk, False)
+    x = blk.astype(np.float64)
+    ac = np.array([float(np.dot(x[: n - j], x[j:])) for j in range(order + 1)])
+    if ac[0] == 0.0:  # digital silence
+        return _fixed_subframe(blk, False)
+    # Levinson-Durbin recursion
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - float(np.dot(a[:i], ac[i:0:-1][: i]))
+        k = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k * a[:i][::-1], [k]])
+        err *= 1.0 - k * k
+        if err <= 0:
+            break
+    cmax = float(np.max(np.abs(a)))
+    if not np.isfinite(cmax) or cmax == 0.0:
+        return _fixed_subframe(blk, False)
+    # shift so the largest coefficient uses the full precision
+    shift = precision - 1 - max(0, int(np.floor(np.log2(cmax))) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = np.clip(np.round(a * (1 << shift)), -lim, lim - 1).astype(np.int64)
+    resid = blk[order:].astype(np.int64) - lpc_predict(blk, q, shift, order)
+    u = zigzag(resid)
+    k = best_rice_k(u)
+    # header byte + warmup, then the UNALIGNED tail: prec-1(4) shift(5)
+    # coeffs(order*precision) | method(2) porder(4) rice k(4) | residual
+    head = []
+    for j in range(4):
+        head.append((precision - 1 >> 3 - j) & 1)
+    for j in range(5):
+        head.append((shift >> 4 - j) & 1)
+    for c in q:
+        c2 = int(c) & ((1 << precision) - 1)
+        for j in range(precision):
+            head.append((c2 >> precision - 1 - j) & 1)
+    head += [0, 0, 0, 0, 0, 0]  # method 00, partition order 0000
+    for j in range(4):
+        head.append((k >> 3 - j) & 1)
+    packed = np.packbits(
+        np.concatenate([np.array(head, np.uint8), rice_encode_bits(u, k)])
+    )
+    return (
+        bytes([(0x20 | (order - 1)) << 1])
+        + blk[:order].astype(">i2").tobytes()
+        + packed.tobytes()
+    )
+
+
 def encode_frames(
     pcm: np.ndarray,
     blocksize: int = BLOCKSIZE,
@@ -507,6 +631,8 @@ def encode_frames(
         hdr += bytes([crc8(hdr)])
         if predictor == "fixed":
             frame = hdr + _fixed_subframe(blk, corrupt_warmup, fixed_order)
+        elif predictor == "lpc":
+            frame = hdr + _lpc_subframe(blk)
         else:
             frame = hdr + b"\x02" + blk.astype(">i2").tobytes()  # 0x02 = verbatim
         out.append(frame + struct.pack(">H", crc16(frame)))
@@ -636,9 +762,9 @@ def parse(b) -> tuple[np.ndarray, list, list[int]]:
         stype = (sub >> 1) & 0x3F
         wasted = sub & 0x01
         pos2 += 1
-        if wasted or 0x20 <= stype <= 0x3F:
-            # wasted-bits shifting and LPC subframes: legal FLAC outside the
-            # decode subset -> plumbing pass
+        if wasted:
+            # wasted-bits shifting: legal FLAC outside the decode subset ->
+            # plumbing pass
             raise NotImplementedError("codec_decoder_missing:flac_subframe")
         if stype == 0x01:  # VERBATIM: raw big-endian samples, numpy fast path
             end = pos2 + 2 * bs
@@ -660,9 +786,36 @@ def parse(b) -> tuple[np.ndarray, list, list[int]]:
             warmup = np.frombuffer(mv[pos2:wend], dtype=">i2").astype(np.int64)
             if stream is None:
                 stream = np.frombuffer(mv, dtype=np.uint8)  # zero-copy view
-            samples, end = _decode_fixed_subframe(
-                mv, stream, n, wend, bs, order, warmup
+            resid, end = _decode_residual_section(
+                mv, stream, n, wend * 8, bs, order
             )
+            samples = reconstruct_fixed(warmup, resid, order)
+        elif stype & 0x20:  # LPC, order 1-32
+            order = (stype & 0x1F) + 1
+            wend = pos2 + 2 * order
+            if wend > n or order > bs:
+                raise ValueError("bad_flac_frame")
+            warmup = np.frombuffer(mv[pos2:wend], dtype=">i2").astype(np.int64)
+            if stream is None:
+                stream = np.frombuffer(mv, dtype=np.uint8)
+            bp = wend * 8
+            prec = _peek_bits(mv, n, bp, 4) + 1
+            if prec == 16:
+                raise ValueError("bad_flac_frame")  # 0b1111 is forbidden
+            shift = _peek_bits(mv, n, bp + 4, 5)
+            if shift & 0x10:
+                # signed field, but negative shifts MUST NOT occur (RFC 9639)
+                raise ValueError("bad_flac_frame")
+            bp += 9
+            coefs = []
+            for _ in range(order):
+                c = _peek_bits(mv, n, bp, prec)
+                if c >= 1 << (prec - 1):
+                    c -= 1 << prec  # two's complement
+                coefs.append(c)
+                bp += prec
+            resid, end = _decode_residual_section(mv, stream, n, bp, bs, order)
+            samples = lpc_reconstruct(warmup, resid, coefs, shift)
         else:
             # subframe types 2-7 / 13-31 are RESERVED — no valid stream
             # contains them, so this is corruption, not an unimplemented shape

@@ -424,8 +424,18 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
 
             # half the flac mix ships REAL-WORLD-SHAPED streams: fixed
             # predictors (orders 0-4, best-order) with Rice-coded residuals
-            # (r5); the other half stays verbatim — both decode losslessly
-            predictor = "fixed" if i % 2 == 1 else "verbatim"
+            # (r5), and 1/16 carries order-8 LPC subframes (quantized
+            # Levinson-Durbin coefficients — the coding real encoders
+            # actually prefer; decode is an exact integer inverse filter);
+            # the rest stays verbatim — every family decodes losslessly.
+            # i%16==5 is odd, so LPC ids are a subset of the coded half,
+            # and no planting rule lands on residue 5 mod 16 for flac.
+            if i % 16 == 5:
+                predictor = "lpc"
+            elif i % 2 == 1:
+                predictor = "fixed"
+            else:
+                predictor = "verbatim"
             sig = clean_pcm(i, sr, max(dur, 200))
             pcm = _noisy_pcm16(i, sig)
             if corrupt_payload:

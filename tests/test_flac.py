@@ -279,7 +279,7 @@ def test_fixed_partitioned_and_rice2_and_escape_decode():
         assert np.array_equal(_i16(out), pcm), (method, porder, escape_part)
 
 
-def test_reserved_subframe_type_is_violation_lpc_is_stub():
+def test_reserved_subframe_type_is_violation_wasted_is_stub():
     pcm = _sine(3000)
     b = bytearray(flac.encode(pcm, 8000, predictor="fixed"))
     # find the subframe header byte: streaminfo(42) + frame header 8 bytes
@@ -288,12 +288,53 @@ def test_reserved_subframe_type_is_violation_lpc_is_stub():
     b[sub_at] = 0x03 << 1  # reserved type 3 -> corruption
     with pytest.raises(ValueError, match="bad_flac_frame"):
         flac.decode(bytes(b))
-    b[sub_at] = 0x20 << 1  # LPC order 0 -> legal, out of subset
-    with pytest.raises(NotImplementedError):
+    b[sub_at] = 0x20 << 1  # LPC header over a fixed-frame body (r5b: LPC is
+    with pytest.raises(ValueError):  # IN subset now, so this is corruption)
         flac.decode(bytes(b))
     b[sub_at] = orig | 0x01  # wasted-bits flag -> out of subset
     with pytest.raises(NotImplementedError):
         flac.decode(bytes(b))
+
+
+def test_lpc_roundtrip_and_fuzz():
+    """Order-8 LPC subframes (quantized Levinson-Durbin coefficients):
+    lossless round trip, and every single-byte corruption is caught or
+    decodes identically — never a silent wrong decode or a stray
+    exception class."""
+    pcm = _sine(9000, f=180, noise=80, seed=9)
+    b = flac.encode(pcm, 8000, predictor="lpc")
+    assert np.array_equal(_i16(flac.decode(b)), pcm)
+    ba = bytearray(b)
+    rng = np.random.default_rng(4)
+    idx = rng.choice(np.arange(4, len(ba)), size=250, replace=False)
+    for i in idx:
+        orig = ba[i]
+        ba[i] ^= 0xA5
+        try:
+            out = flac.decode(bytes(ba))
+            assert np.array_equal(_i16(out), pcm), int(i)
+        except (ValueError, NotImplementedError):
+            pass
+        ba[i] = orig
+
+
+def test_lpc_negative_shift_and_forbidden_precision_are_violations():
+    import struct as _s
+
+    pcm = _sine(2000)
+    b = flac.encode(pcm, 8000, predictor="lpc")
+    ba = bytearray(b)
+    # locate the precision/shift byte: streaminfo(42) + frame hdr 8 +
+    # subframe hdr 1 + warmup 16 = byte 67: [prec-1(4) | shift hi 4]
+    at = 42 + 8 + 1 + 16
+    orig = ba[at]
+    ba[at] = 0xF0 | (orig & 0x0F)  # precision code 0b1111 is forbidden
+    with pytest.raises(ValueError, match="bad_flac_frame"):
+        flac.decode(bytes(ba))
+    ba[at] = (orig & 0xF0) | 0x0F  # shift sign bit set -> negative shift
+    ba[at + 1] = ba[at + 1] | 0x80
+    with pytest.raises(ValueError, match="bad_flac_frame"):
+        flac.decode(bytes(ba))
 
 
 def test_fixed_constant_subframe_decode():
