@@ -450,27 +450,45 @@ def lpc_reconstruct(warmup, resid: np.ndarray, coefs, shift: int) -> np.ndarray:
     out = [int(x) for x in warmup]
     co = [int(c) for c in coefs]
     sh = int(shift)
-    # divergence guard: valid 16-bit-audio state never leaves this range;
-    # a corrupt stream's feedback loop can grow without bound (unbounded
-    # Python ints), which must surface as a violation, not an OverflowError
+    # divergence guard: valid 16-bit-audio state never leaves this range; a
+    # corrupt stream's feedback loop can grow without bound (unbounded
+    # Python ints), which must surface as a violation, not an OverflowError.
+    # Checked once per unrolled block — between checks, growth is bounded by
+    # (max|c|)^8, so even a diverging corrupt frame stays cheap.
     LIM = 1 << 34
-    if order == 8:  # the fixture encoder's order — unrolled
-        c0, c1, c2, c3, c4, c5, c6, c7 = co
+    rl = resid.tolist()
+    if order == 8:
+        # the fixture encoder's order: EIGHT samples per iteration with
+        # explicit state renaming — no per-sample append, no per-sample
+        # 8-tuple rotation, 1/8th the loop overhead (~2x vs the rolled loop)
         s0, s1, s2, s3, s4, s5, s6, s7 = out[-1], out[-2], out[-3], out[-4], \
             out[-5], out[-6], out[-7], out[-8]
-        app = out.append
-        for r in resid.tolist():
-            v = int(r) + (
-                (c0 * s0 + c1 * s1 + c2 * s2 + c3 * s3 + c4 * s4
-                 + c5 * s5 + c6 * s6 + c7 * s7) >> sh
-            )
+        c0, c1, c2, c3, c4, c5, c6, c7 = co
+        ext = out.extend
+        nfull = len(rl) - (len(rl) & 7)
+        for i in range(0, nfull, 8):
+            r0, r1, r2, r3, r4, r5, r6, r7 = rl[i : i + 8]
+            v0 = r0 + ((c0*s0 + c1*s1 + c2*s2 + c3*s3 + c4*s4 + c5*s5 + c6*s6 + c7*s7) >> sh)
+            v1 = r1 + ((c0*v0 + c1*s0 + c2*s1 + c3*s2 + c4*s3 + c5*s4 + c6*s5 + c7*s6) >> sh)
+            v2 = r2 + ((c0*v1 + c1*v0 + c2*s0 + c3*s1 + c4*s2 + c5*s3 + c6*s4 + c7*s5) >> sh)
+            v3 = r3 + ((c0*v2 + c1*v1 + c2*v0 + c3*s0 + c4*s1 + c5*s2 + c6*s3 + c7*s4) >> sh)
+            v4 = r4 + ((c0*v3 + c1*v2 + c2*v1 + c3*v0 + c4*s0 + c5*s1 + c6*s2 + c7*s3) >> sh)
+            v5 = r5 + ((c0*v4 + c1*v3 + c2*v2 + c3*v1 + c4*v0 + c5*s0 + c6*s1 + c7*s2) >> sh)
+            v6 = r6 + ((c0*v5 + c1*v4 + c2*v3 + c3*v2 + c4*v1 + c5*v0 + c6*s0 + c7*s1) >> sh)
+            v7 = r7 + ((c0*v6 + c1*v5 + c2*v4 + c3*v3 + c4*v2 + c5*v1 + c6*v0 + c7*s0) >> sh)
+            if not -LIM < v7 < LIM:
+                raise ValueError("bad_flac_frame")
+            ext((v0, v1, v2, v3, v4, v5, v6, v7))
+            s0, s1, s2, s3, s4, s5, s6, s7 = v7, v6, v5, v4, v3, v2, v1, v0
+        for r in rl[nfull:]:
+            v = r + ((c0*s0 + c1*s1 + c2*s2 + c3*s3 + c4*s4 + c5*s5 + c6*s6 + c7*s7) >> sh)
             if not -LIM < v < LIM:
                 raise ValueError("bad_flac_frame")
-            app(v)
+            out.append(v)
             s0, s1, s2, s3, s4, s5, s6, s7 = v, s0, s1, s2, s3, s4, s5, s6
     else:
         rng = range(order)
-        for r in resid.tolist():
+        for r in rl:
             acc = 0
             for j in rng:
                 acc += co[j] * out[-1 - j]
@@ -478,7 +496,10 @@ def lpc_reconstruct(warmup, resid: np.ndarray, coefs, shift: int) -> np.ndarray:
             if not -LIM < v < LIM:
                 raise ValueError("bad_flac_frame")
             out.append(v)
-    return np.array(out, dtype=np.int64)
+    try:
+        return np.array(out, dtype=np.int64)
+    except OverflowError:  # alternating-sign divergence can dodge the v7 check
+        raise ValueError("bad_flac_frame") from None
 
 
 def reconstruct_fixed(

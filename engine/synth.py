@@ -424,13 +424,15 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
 
             # half the flac mix ships REAL-WORLD-SHAPED streams: fixed
             # predictors (orders 0-4, best-order) with Rice-coded residuals
-            # (r5), and 1/16 carries order-8 LPC subframes (quantized
+            # (r5), and 1/32 carries order-8 LPC subframes (quantized
             # Levinson-Durbin coefficients — the coding real encoders
-            # actually prefer; decode is an exact integer inverse filter);
-            # the rest stays verbatim — every family decodes losslessly.
-            # i%16==5 is odd, so LPC ids are a subset of the coded half,
-            # and no planting rule lands on residue 5 mod 16 for flac.
-            if i % 16 == 5:
+            # actually prefer; decode is an exact integer inverse filter,
+            # inherently per-sample, so the share is bounded and the cost
+            # documented in BENCH.md); the rest stays verbatim — every
+            # family decodes losslessly. i%32==21 is odd, so LPC ids are a
+            # subset of the coded half, and no flac-forcing planting rule
+            # lands on residue 21 mod 32.
+            if i % 32 == 21:
                 predictor = "lpc"
             elif i % 2 == 1:
                 predictor = "fixed"
