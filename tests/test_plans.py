@@ -97,3 +97,21 @@ def test_fused_suite_scan_single_filescan_with_partials(spark):
 def test_quantile_threshold_broadcasts_one_row_aggregate(spark, Q):
     p = plan_of(Q["quantile_threshold_events"](spark, SF))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_audio_features_query_broadcasts_dim_single_payload_scan(spark):
+    """audio_features_clips (r5): the feature pass must read the payload in
+    ONE mapInArrow scan, and the (clip_id, sr_hz, dur_ms) dim join must be
+    a broadcast — never a sort-merge that would shuffle the feature rows."""
+    from engine import queries as qmod
+
+    p = plan_of(qmod.Q["audio_features_clips"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # exactly one Python/Arrow map over the payload-bearing side
+    assert p.count("MapInArrow") >= 1
+    # the binary column must not cross an Exchange: every exchange line
+    # carries only narrow columns
+    for line in p.splitlines():
+        if "Exchange" in line and "reuse" not in line.lower():
+            assert "bytes" not in line, line

@@ -236,3 +236,61 @@ def test_fastrng_property_random_ids():
         assert d1[0] == ref.random() and d2[0] == ref.random()
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# decoder adversarial-robustness properties (r5): a validation engine's
+# decoders must NEVER crash on arbitrary bytes — every outcome is a valid
+# PCM array, a ValueError (violation), or a NotImplementedError (documented
+# out-of-subset stub). IndexError / OverflowError / struct.error escaping
+# the Arrow batch task would fail the whole partition.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.binary(max_size=3000), codec=st.sampled_from(
+    ["flac", "opus", "mp3", "pcm_s16le", None, "wma"]))
+def test_decode_any_bytes_never_crashes(payload, codec):
+    from engine import audio
+
+    try:
+        out = audio.decode(payload, codec)
+        assert out is None or isinstance(out, np.ndarray)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(tail=st.binary(max_size=2000))
+def test_flac_valid_prefix_plus_garbage_never_crashes(tail):
+    """Garbage appended after a valid FLAC header/STREAMINFO exercises the
+    frame parser (sync, subframe types incl. fixed/LPC, rice partitions)
+    with attacker-controlled bits."""
+    from engine import audio, flac
+
+    b = flac.streaminfo(8000, 4080) + tail
+    try:
+        audio.decode(b, "flac")
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 12),
+       predictor=st.sampled_from(["fixed", "lpc", "verbatim"]))
+def test_flac_multi_byte_corruption_detected_or_identical(seed, n_flips, predictor):
+    """Multi-byte corruption of a real coded stream: caught or decodes
+    identically — never a silent wrong decode, never a stray exception."""
+    from engine import flac
+
+    rng = np.random.default_rng(seed)
+    pcm = (np.sin(2 * np.pi * 300 * np.arange(3000) / 8000) * 15000
+           + rng.uniform(-60, 60, 3000)).astype(np.int16)
+    b = bytearray(flac.encode(pcm, 8000, predictor=predictor))
+    for i in rng.choice(np.arange(4, len(b)), size=n_flips, replace=False):
+        b[i] ^= int(rng.integers(1, 256))
+    try:
+        out = flac.decode(bytes(b))
+        assert np.array_equal(
+            (out * np.float32(32768.0)).astype(np.int16), pcm)
+    except (ValueError, NotImplementedError):
+        pass
