@@ -1660,9 +1660,11 @@ def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
       * decode_violation:<err> — decode failed with a real error (not the
         documented codec stub): exactly the planted container/body
         corruptions;
-      * zcr_noise — zero-crossing rate > 0.35: decodable garbage signals
-        (the payload_corrupt plants; clean 2-harmonic clips stay <= ~0.24
-        even at sr=8000 with f1 up to 480 Hz, garbage sits at ~0.5);
+      * zcr_noise — zero-crossing rate > 0.2: decodable garbage signals
+        (the payload_corrupt plants). Margins measured over the fixture:
+        clean 2-harmonic clips max 0.10 (worst case sr=8000, f1 up to
+        480 Hz); the mod-wrap garbage plants span 0.34-0.41 across ids —
+        0.2 sits >= 2x from both populations;
       * n_samples_mismatch — decoded sample count disagrees with the
         (sr_hz, dur_ms) columns under the engine's 200 ms floor / 200k cap
         policy: planted-empty (every fixture payload is consistent);
@@ -1695,13 +1697,13 @@ def audio_features_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("decode_error") != "codec_decoder_missing"),
                 F.concat(F.lit("decode_violation:"), F.col("decode_error")),
             ),
-            F.when(F.col("zcr") > 0.35, F.lit("zcr_noise")),
+            F.when(F.col("zcr") > 0.2, F.lit("zcr_noise")),
             F.when(
                 F.col("n_samples").isNotNull() & (F.col("n_samples") != expected_n),
                 F.lit("n_samples_mismatch"),
             ),
             F.when(
-                (F.col("clipped_frac") > 0.0) & (F.col("zcr") <= 0.35),
+                (F.col("clipped_frac") > 0.0) & (F.col("zcr") <= 0.2),
                 F.lit("clipped_clean"),
             ),
         )
