@@ -556,7 +556,9 @@ def _fixed_subframe(
         ]
         order = int(np.argmin(costs))
     else:
-        order = min(order, len(blk))  # warmup cannot exceed the block
+        # fixed predictors exist only for orders 0-4, and warmup cannot
+        # exceed the block
+        order = min(order, 4, len(blk))
     resid = fixed_residual(blk, order)
     u = zigzag(resid)
     k = best_rice_k(u)
@@ -671,7 +673,8 @@ def encode(
     """Full container. ``streaminfo_sr`` overrides the DECLARED rate (used by
     the sr_metadata_mismatch plant) without touching the frame payload."""
     return streaminfo(streaminfo_sr or sr, len(pcm)) + encode_frames(
-        pcm, predictor=predictor, corrupt_warmup=corrupt_warmup
+        pcm, predictor=predictor, corrupt_warmup=corrupt_warmup,
+        fixed_order=fixed_order,
     )
 
 

@@ -1126,15 +1126,12 @@ def clips_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AUDIO_INV_ORACLE = f"""
-    WITH ids AS (SELECT unnest(range(0, {_FIXTURE_N})) AS i),
-    v AS (
-      SELECT i,
-        NOT (i % 2000 = 13 OR i % 3000 = 41 OR i % 2000 = 47
-             OR i % 3000 = 53 OR i % 2000 = 59) AS pcm_ok,
-        NOT (i % 2000 = 29 OR i % 500 = 3 OR i % 1000 = 37) AS transcript_ok,
-        NOT (i % 4000 = 43) AS meta_sr_ok,
-        CASE WHEN i % 3000 = 41 THEN
+def _planted_decode_error_case() -> str:
+    """The planting-rule -> decode-error-string mapping as one SQL CASE,
+    shared by every oracle that reasons about decode failures (keeping
+    RULES / the codec cycles in engine/synth.py single-sourced on the SQL
+    side too)."""
+    return """CASE WHEN i % 3000 = 41 THEN
           CASE ((i - 41) // 3000) % 3
             WHEN 0 THEN 'bad_flac_header'
             WHEN 1 THEN 'bad_ogg_page'
@@ -1144,7 +1141,18 @@ _AUDIO_INV_ORACLE = f"""
           CASE ((i - 53) // 3000) % 2
             WHEN 0 THEN 'bad_ogg_page'
             ELSE 'bad_mp3_frame' END
-        END AS decode_error,
+        END"""
+
+
+_AUDIO_INV_ORACLE = f"""
+    WITH ids AS (SELECT unnest(range(0, {_FIXTURE_N})) AS i),
+    v AS (
+      SELECT i,
+        NOT (i % 2000 = 13 OR i % 3000 = 41 OR i % 2000 = 47
+             OR i % 3000 = 53 OR i % 2000 = 59) AS pcm_ok,
+        NOT (i % 2000 = 29 OR i % 500 = 3 OR i % 1000 = 37) AS transcript_ok,
+        NOT (i % 4000 = 43) AS meta_sr_ok,
+        {_planted_decode_error_case()} AS decode_error,
         CASE WHEN i % 1000 = 7 THEN 2 ELSE 1 END AS w
       FROM ids)
     SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 10, '0') AS clip_id,
@@ -1626,17 +1634,7 @@ def _clips_2k(spark: SparkSession):
 _AUDIO_FEATURES_ORACLE = f"""
     WITH ids AS (SELECT unnest(range(0, {_FIXTURE_N})) AS i),
     v AS (SELECT i,
-      CASE WHEN i % 3000 = 41 THEN
-        CASE ((i - 41) // 3000) % 3
-          WHEN 0 THEN 'bad_flac_header'
-          WHEN 1 THEN 'bad_ogg_page'
-          ELSE 'bad_mp3_frame' END
-      WHEN i % 2000 = 47 THEN 'bad_flac_frame'
-      WHEN i % 3000 = 53 THEN
-        CASE ((i - 53) // 3000) % 2
-          WHEN 0 THEN 'bad_ogg_page'
-          ELSE 'bad_mp3_frame' END
-      END AS derr,
+      {_planted_decode_error_case()} AS derr,
       (i % 2000 = 13) AS garbage,
       CASE WHEN i % 1000 = 7 THEN 2 ELSE 1 END AS w
       FROM ids)

@@ -103,16 +103,22 @@ def _rng(i: int) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence([SEED, int(i)]))
 
 
-def wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
-    """Canonical 44-byte RIFF/WAVE header + PCM16 mono payload."""
-    data = pcm.astype("<i2").tobytes()
-    hdr = struct.pack(
+def wav_header(sr: int, data_len: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for a PCM16 mono payload of
+    ``data_len`` bytes — the single source of the header layout (the
+    segmenter in engine/features.py emits the same bytes)."""
+    return struct.pack(
         "<4sI4s4sIHHIIHH4sI",
-        b"RIFF", 36 + len(data), b"WAVE",
+        b"RIFF", 36 + data_len, b"WAVE",
         b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
-        b"data", len(data),
+        b"data", data_len,
     )
-    return hdr + data
+
+
+def wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
+    """Canonical WAV: header + PCM16 mono payload."""
+    data = pcm.astype("<i2").tobytes()
+    return wav_header(sr, len(data)) + data
 
 
 def _ogg_crc_table() -> list[int]:

@@ -109,7 +109,7 @@ def test_audio_features_query_broadcasts_dim_single_payload_scan(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     # exactly one Python/Arrow map over the payload-bearing side
-    assert p.count("MapInArrow") >= 1
+    assert p.count("MapInArrow") == 1, p.count("MapInArrow")
     # the binary column must not cross an Exchange: every exchange line
     # carries only narrow columns
     for line in p.splitlines():

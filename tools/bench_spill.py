@@ -8,7 +8,7 @@ the 100x-scale failure mode (executors smaller than the data) that the
 roomy 128 GiB box never exercises on its own.
 
 Usage: python tools/bench_spill.py [--clips 1000000] [--mem 4g] [--cores 32]
-Appends a Measured section to BENCH.md.
+Prints one JSON report to stdout (copy the findings into BENCH.md).
 """
 
 from __future__ import annotations
