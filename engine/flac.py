@@ -1,26 +1,28 @@
-"""FLAC verbatim-subset encoder/decoder (pure numpy, public spec).
+"""FLAC encoder/decoder (pure numpy, public spec — RFC 9639).
 
-Closes the codec-body seam: fixture FLAC clips carry REAL frames (verbatim
-subframes, RFC 9639 / xiph spec layout) that the validation engine decodes
-back to PCM for the SNR>=30dB invariant — the Spark analog of the reference's
-reconstruct-and-compare loop (anomaly_detection.py:326-343), now genuinely
-exercised on ~15% of the codec mix instead of a header-only stub.
+Closes the codec-body seam: fixture FLAC clips carry REAL frames that the
+validation engine decodes back to PCM for the SNR>=30dB invariant — the
+Spark analog of the reference's reconstruct-and-compare loop
+(anomaly_detection.py:326-343), genuinely exercised on ~15% of the codec
+mix instead of a header-only stub.
 
-Subset implemented (all that the fixture generator emits):
-  * mono, 16 bits/sample, fixed-blocksize strategy;
-  * frame header: sync 0b11111111111110, blocksize code 0b0111 (16-bit
-    blocksize-1 at header end), sample-rate code 0b0000 (from STREAMINFO),
-    UTF-8-coded frame number, CRC-8 (poly 0x07);
+Subset implemented (a superset of what the fixture generator emits):
+  * mono, 16 bits/sample, BOTH blocking strategies, every blocksize /
+    sample-rate code (tables and explicit fields);
   * subframes: VERBATIM, CONSTANT, FIXED predictors of orders 0-4, and
     LPC of any order 1-32 (quantized Levinson-Durbin coefficients, exact
     integer inverse filter) with Rice-coded residuals (both coding methods,
-    any partition order, escape partitions) — the full set of shapes
-    real-world FLAC encoders emit (r5/r5b; VERDICT r4 #1) — exact integer
-    reconstruction, so the decode stays lossless; CRC-16 (poly 0x8005)
-    frame footer.
-Anything outside the subset (wasted bits, non-mono,
-non-16-bit, variable blocksize) raises NotImplementedError
-(plumbing-verified pass, same contract as the opus/mp3 header stubs);
+    any partition order, escape partitions), with or without WASTED-BITS
+    shifting — the full set of shapes real-world FLAC encoders emit
+    (r5/r5b; VERDICT r4 #1) — exact integer reconstruction, so the decode
+    stays lossless; CRC-16 (poly 0x8005) frame footer.
+Only stereo/multi-channel and non-16-bit sample sizes remain outside the
+subset and raise NotImplementedError (plumbing-verified pass, same
+contract as the opus/mp3 header stubs) — and every frame header is CRC-8
+VERIFIED BEFORE that routing, so a corrupted header can never reach the
+stub: for an in-subset stream, ANY single-byte corruption past the
+metadata block is a ValueError violation (or decodes identically) — a
+tested theorem (test_single_byte_corruption_never_reaches_the_stub).
 CORRUPTION — including reserved subframe/coding-method codes, which no
 valid stream contains — raises ValueError and becomes a violation.
 
@@ -404,6 +406,119 @@ def _decode_residual_section(
             raise
 
 
+#: frame-header blocksize table (spec 9.1.2): codes 1-5 and 8-15 are fixed
+#: sizes, 6/7 carry the size at the header's end, 0 is reserved
+_BS_TABLE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+
+def _align_checked(mv, n: int, end_bit: int) -> int:
+    """Byte-align after a subframe body: the padding bits to the next byte
+    boundary must be zero; returns the end byte (CRC-16 bytes must fit)."""
+    end = (end_bit + 7) >> 3
+    if end + 2 > n:
+        raise ValueError("bad_flac_frame")
+    pad = end * 8 - end_bit
+    if pad and _peek_bits(mv, n, end_bit, pad) != 0:
+        raise ValueError("bad_flac_frame")
+    return end
+
+
+def _local_bits(stream: np.ndarray, n: int, start_bit: int, n_bits: int):
+    """Unpack exactly the bytes covering [start_bit, start_bit + n_bits);
+    returns (bits, local_offset_of_start_bit)."""
+    if (start_bit + n_bits + 7) >> 3 > n:
+        raise ValueError("bad_flac_frame")
+    b0 = start_bit >> 3
+    b1 = (start_bit + n_bits + 7) >> 3
+    return np.unpackbits(stream[b0:b1]), start_bit - b0 * 8
+
+
+def _decode_subframe(mv, stream: np.ndarray, n: int, pos2: int, bs: int):
+    """One mono 16-bit subframe starting at the byte-aligned header byte
+    ``pos2``: handles CONSTANT / VERBATIM / FIXED / LPC, with or without
+    wasted-bits shifting (spec 9.2.2: a set flag is followed by a unary
+    count w; the body is coded at 16-w bits and the decoded samples are
+    shifted left by w). Returns (samples, end_byte). Reserved subframe
+    types are corruption (ValueError), never a stub."""
+    sub = mv[pos2]
+    if sub & 0x80:
+        raise ValueError("bad_flac_frame")  # padding bit must be 0
+    stype = (sub >> 1) & 0x3F
+    bit = (pos2 + 1) * 8
+    w = 0
+    if sub & 0x01:
+        z = 0
+        while _peek_bits(mv, n, bit + z, 1) == 0:
+            z += 1
+            if z > 14:  # 16 - w must stay >= 1
+                raise ValueError("bad_flac_frame")
+        w = z + 1
+        bit += z + 1
+    bps = 16 - w
+    if stype == 0x00:  # CONSTANT: one bps-bit value for the whole block
+        v = _peek_bits(mv, n, bit, bps)
+        if v >= 1 << (bps - 1):
+            v -= 1 << bps
+        end = _align_checked(mv, n, bit + bps)
+        return np.full(bs, v << w, dtype=np.int64), end
+    if stype == 0x01:  # VERBATIM: bs raw bps-bit samples
+        if w == 0:  # byte-aligned 16-bit: zero-copy numpy fast path
+            start = bit >> 3
+            end = start + 2 * bs
+            if end + 2 > n:
+                raise ValueError("bad_flac_frame")
+            return np.frombuffer(mv[start:end], dtype=">i2").astype(np.int16), end
+        bits_l, off = _local_bits(stream, n, bit, bs * bps)
+        vals, _ = raw_decode_block(bits_l, off, bs, bps)
+        return vals << w, _align_checked(mv, n, bit + bs * bps)
+    if 0x08 <= stype <= 0x0C or stype & 0x20:
+        order = ((stype & 0x1F) + 1) if stype & 0x20 else stype - 0x08
+        if order > bs:
+            raise ValueError("bad_flac_frame")
+        if w == 0:  # byte-aligned warmup fast path
+            start = bit >> 3
+            wend = start + 2 * order
+            if wend > n:
+                raise ValueError("bad_flac_frame")
+            warmup = np.frombuffer(mv[start:wend], dtype=">i2").astype(np.int64)
+            bit = wend * 8
+        elif order:
+            bits_l, off = _local_bits(stream, n, bit, order * bps)
+            warmup, _ = raw_decode_block(bits_l, off, order, bps)
+            bit += order * bps
+        else:
+            warmup = np.zeros(0, dtype=np.int64)
+        if stype & 0x20:  # LPC: precision / shift / quantized coefficients
+            prec = _peek_bits(mv, n, bit, 4) + 1
+            if prec == 16:
+                raise ValueError("bad_flac_frame")  # 0b1111 is forbidden
+            shift = _peek_bits(mv, n, bit + 4, 5)
+            if shift & 0x10:
+                # signed field, but negative shifts MUST NOT occur (RFC 9639)
+                raise ValueError("bad_flac_frame")
+            bit += 9
+            coefs = []
+            for _ in range(order):
+                c = _peek_bits(mv, n, bit, prec)
+                if c >= 1 << (prec - 1):
+                    c -= 1 << prec  # two's complement
+                coefs.append(c)
+                bit += prec
+        resid, end = _decode_residual_section(mv, stream, n, bit, bs, order)
+        if stype & 0x20:
+            samples = lpc_reconstruct(warmup, resid, coefs, shift)
+        else:
+            samples = reconstruct_fixed(warmup, resid, order)
+        return (samples << w if w else samples), end
+    # subframe types 2-7 / 13-31 are RESERVED — no valid stream contains
+    # them, so this is corruption, not an unimplemented shape
+    raise ValueError("bad_flac_frame")
+
+
 def raw_decode_block(
     bits: np.ndarray, p: int, n_r: int, nbits: int
 ) -> tuple[np.ndarray, int]:
@@ -752,98 +867,52 @@ def parse(b) -> tuple[np.ndarray, list, list[int]]:
         fstart = pos
         if pos + 5 > n or mv[pos] != 0xFF or (mv[pos + 1] & 0xFC) != 0xF8:
             raise ValueError("bad_flac_frame")  # bad sync / reserved bit set
-        if mv[pos + 1] & 0x01:
-            # variable-blocksize strategy: valid FLAC, outside our subset —
-            # the UTF-8 field is a sample number there, so route to the
-            # plumbing-pass path like every other out-of-subset shape
-            raise NotImplementedError("codec_decoder_missing:flac_subset")
+        # parse ALL header fields first, verify the header CRC-8, and only
+        # THEN route out-of-subset shapes to the stub: a corrupted header
+        # byte always fails the CRC (-> violation) instead of flipping a
+        # field into a shape the stub would plumbing-pass (r5 review fix).
+        # The variable-blocksize strategy and the blocksize/sample-rate
+        # code tables are decoded outright — per-frame handling is
+        # identical; only stereo and non-16-bit remain out of subset.
         bs_code = mv[pos + 2] >> 4
         sr_code = mv[pos + 2] & 0x0F
         chan_bps = mv[pos + 3]
-        if sr_code != 0 or bs_code not in (6, 7):
-            raise NotImplementedError("codec_decoder_missing:flac_subset")
-        if chan_bps != 0x08:  # mono, 16-bit, reserved 0
-            raise NotImplementedError("codec_decoder_missing:flac_subset")
+        if bs_code == 0 or sr_code == 15:
+            raise ValueError("bad_flac_frame")  # reserved / invalid codes
         _, pos2 = utf8_decode(mv, pos + 4)
         if bs_code == 6:
             if pos2 + 1 > n:
                 raise ValueError("bad_flac_frame")
             bs = mv[pos2] + 1
             pos2 += 1
-        else:
+        elif bs_code == 7:
             if pos2 + 2 > n:
                 raise ValueError("bad_flac_frame")
             bs = struct.unpack(">H", mv[pos2 : pos2 + 2])[0] + 1
             pos2 += 2
+        else:
+            bs = _BS_TABLE[bs_code]
+        if sr_code == 12:
+            pos2 += 1  # explicit rate in kHz (value unused: STREAMINFO rules)
+        elif sr_code in (13, 14):
+            pos2 += 2  # explicit rate in Hz / daHz
         if pos2 + 1 > n or crc8(bytes(mv[fstart:pos2])) != mv[pos2]:
             raise ValueError("bad_flac_frame")
         pos2 += 1
+        channels_code = chan_bps >> 4
+        ss_code = (chan_bps >> 1) & 0x07
+        if chan_bps & 0x01 or ss_code == 0b011 or channels_code >= 11:
+            raise ValueError("bad_flac_frame")  # reserved bits / codes
+        if channels_code != 0:
+            # stereo / multi-channel: legal FLAC outside the mono subset
+            raise NotImplementedError("codec_decoder_missing:flac_subset")
+        if ss_code not in (0, 0b100):  # 0 = from STREAMINFO (validated 16)
+            raise NotImplementedError("codec_decoder_missing:flac_subset")
         if pos2 + 1 > n:
             raise ValueError("bad_flac_frame")
-        sub = mv[pos2]
-        if sub & 0x80:
-            raise ValueError("bad_flac_frame")  # padding bit must be 0
-        stype = (sub >> 1) & 0x3F
-        wasted = sub & 0x01
-        pos2 += 1
-        if wasted:
-            # wasted-bits shifting: legal FLAC outside the decode subset ->
-            # plumbing pass
-            raise NotImplementedError("codec_decoder_missing:flac_subframe")
-        if stype == 0x01:  # VERBATIM: raw big-endian samples, numpy fast path
-            end = pos2 + 2 * bs
-            if end + 2 > n:
-                raise ValueError("bad_flac_frame")
-            samples = np.frombuffer(mv[pos2:end], dtype=">i2").astype(np.int16)
-        elif stype == 0x00:  # CONSTANT: one sample value for the whole block
-            end = pos2 + 2
-            if end + 2 > n:
-                raise ValueError("bad_flac_frame")
-            samples = np.full(
-                bs, struct.unpack(">h", mv[pos2:end])[0], dtype=np.int16
-            )
-        elif 0x08 <= stype <= 0x0C:  # FIXED predictor, order 0-4
-            order = stype - 0x08
-            wend = pos2 + 2 * order
-            if wend > n or order > bs:
-                raise ValueError("bad_flac_frame")
-            warmup = np.frombuffer(mv[pos2:wend], dtype=">i2").astype(np.int64)
-            if stream is None:
-                stream = np.frombuffer(mv, dtype=np.uint8)  # zero-copy view
-            resid, end = _decode_residual_section(
-                mv, stream, n, wend * 8, bs, order
-            )
-            samples = reconstruct_fixed(warmup, resid, order)
-        elif stype & 0x20:  # LPC, order 1-32
-            order = (stype & 0x1F) + 1
-            wend = pos2 + 2 * order
-            if wend > n or order > bs:
-                raise ValueError("bad_flac_frame")
-            warmup = np.frombuffer(mv[pos2:wend], dtype=">i2").astype(np.int64)
-            if stream is None:
-                stream = np.frombuffer(mv, dtype=np.uint8)
-            bp = wend * 8
-            prec = _peek_bits(mv, n, bp, 4) + 1
-            if prec == 16:
-                raise ValueError("bad_flac_frame")  # 0b1111 is forbidden
-            shift = _peek_bits(mv, n, bp + 4, 5)
-            if shift & 0x10:
-                # signed field, but negative shifts MUST NOT occur (RFC 9639)
-                raise ValueError("bad_flac_frame")
-            bp += 9
-            coefs = []
-            for _ in range(order):
-                c = _peek_bits(mv, n, bp, prec)
-                if c >= 1 << (prec - 1):
-                    c -= 1 << prec  # two's complement
-                coefs.append(c)
-                bp += prec
-            resid, end = _decode_residual_section(mv, stream, n, bp, bs, order)
-            samples = lpc_reconstruct(warmup, resid, coefs, shift)
-        else:
-            # subframe types 2-7 / 13-31 are RESERVED — no valid stream
-            # contains them, so this is corruption, not an unimplemented shape
-            raise ValueError("bad_flac_frame")
+        if stream is None:
+            stream = np.frombuffer(mv, dtype=np.uint8)  # zero-copy view
+        samples, end = _decode_subframe(mv, stream, n, pos2, bs)
         if len(samples) != bs:
             raise ValueError("bad_flac_frame")
         stored = struct.unpack(">H", mv[end : end + 2])[0]

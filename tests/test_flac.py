@@ -145,15 +145,132 @@ def test_truncation_at_frame_number_is_valueerror():
         flac.decode(bytes(ba))
 
 
-def test_variable_blocksize_routes_to_stub():
-    """Valid-but-out-of-subset frames (variable-blocksize strategy) must hit
-    the documented plumbing-pass path, not be decoded under fixed-blocksize
-    assumptions."""
-    pcm = np.zeros(2000, dtype=np.int16)
+def test_variable_blocksize_bit_flip_is_crc_violation_valid_stream_decodes():
+    """r5 review fix: FLIPPING the blocking-strategy bit breaks the header
+    CRC-8 -> violation (it is corruption); a GENUINE variable-blocksize
+    stream (flag set, CRCs consistent) decodes normally — per-frame
+    handling is identical, so it is in subset now."""
+    import struct as _s
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-2000, 2000, 2000).astype(np.int16)
     ba = bytearray(flac.encode(pcm, 8000))
-    ba[43] |= 0x01  # blocking-strategy bit of the first frame header
-    with pytest.raises(NotImplementedError, match="flac_subset"):
+    ba[43] |= 0x01  # flip WITHOUT fixing the CRCs -> corruption
+    with pytest.raises(ValueError, match="bad_flac_frame"):
         flac.decode(bytes(ba))
+    # now build a CONSISTENT variable-blocksize stream: flag set, CRC-8 and
+    # CRC-16 recomputed (single frame, so the utf8 sample number 0 is fine)
+    hdr = bytes([0xFF, 0xF9, 0x70, 0x08]) + flac.utf8_encode(0)
+    hdr += _s.pack(">H", len(pcm) - 1)
+    hdr += bytes([flac.crc8(hdr)])
+    frame = hdr + b"\x02" + pcm.astype(">i2").tobytes()
+    frame += _s.pack(">H", flac.crc16(frame))
+    b = flac.streaminfo(8000, len(pcm)) + frame
+    assert np.array_equal(_i16(flac.decode(b)), pcm)
+
+
+def test_table_blocksize_and_explicit_sr_codes_decode():
+    """Frames using a TABLE blocksize code and an explicit sample-rate code
+    (shapes other encoders emit) decode; reserved codes are violations."""
+    import struct as _s
+
+    rng = np.random.default_rng(12)
+    pcm = rng.integers(-2000, 2000, 1024).astype(np.int16)
+    # bs code 10 (1024), sr code 14 (explicit daHz, 2 bytes at header end)
+    hdr = bytes([0xFF, 0xF8, 0xAE, 0x08]) + flac.utf8_encode(0)
+    hdr += _s.pack(">H", 800)  # declared rate field (value unused)
+    hdr += bytes([flac.crc8(hdr)])
+    frame = hdr + b"\x02" + pcm.astype(">i2").tobytes()
+    frame += _s.pack(">H", flac.crc16(frame))
+    b = flac.streaminfo(8000, len(pcm)) + frame
+    assert np.array_equal(_i16(flac.decode(b)), pcm)
+    # reserved blocksize code 0 and invalid sr code 15 are violations
+    for byte2 in (0x0E, 0xAF):
+        hdr2 = bytes([0xFF, 0xF8, byte2, 0x08]) + flac.utf8_encode(0)
+        hdr2 += bytes([flac.crc8(hdr2)])
+        frame2 = hdr2 + b"\x02" + pcm.astype(">i2").tobytes()
+        frame2 += _s.pack(">H", flac.crc16(frame2))
+        with pytest.raises(ValueError, match="bad_flac_frame"):
+            flac.decode(flac.streaminfo(8000, len(pcm)) + frame2)
+
+
+def _wasted_subframe_bits(kind: str, base: np.ndarray, w: int) -> np.ndarray:
+    """Subframe bit array (after the header byte) for samples base << w:
+    unary wasted count, then the body coded at 16-w bits."""
+    bps = 16 - w
+    parts = [np.array([0] * (w - 1) + [1], np.uint8)]  # unary w
+
+    def raw(vals, nb):
+        out = np.zeros(len(vals) * nb, np.uint8)
+        uv = np.asarray(vals, np.int64) & ((1 << nb) - 1)
+        for j in range(nb):
+            out[j::nb] = (uv >> (nb - 1 - j)) & 1
+        return out
+
+    if kind == "constant":
+        parts.append(raw([int(base[0])], bps))
+    elif kind == "verbatim":
+        parts.append(raw(base, bps))
+    else:  # fixed order 2
+        parts.append(raw(base[:2], bps))
+        resid = flac.fixed_residual(base, 2)
+        u = flac.zigzag(resid)
+        k = flac.best_rice_k(u)
+        head = np.zeros(10, np.uint8)
+        for j in range(4):
+            head[6 + j] = (k >> (3 - j)) & 1
+        parts += [head, flac.rice_encode_bits(u, k)]
+    return np.concatenate(parts)
+
+
+def test_wasted_bits_subframes_decode_losslessly():
+    """Wasted-bits shifting (spec 9.2.2) is decoded for constant, verbatim
+    and fixed subframes: body coded at 16-w bits, output shifted left."""
+    import struct as _s
+
+    rng = np.random.default_rng(13)
+    for kind, stype in (("constant", 0x00), ("verbatim", 0x01), ("fixed", 0x0A)):
+        for w in (1, 3, 7):
+            n_s = 600
+            if kind == "constant":
+                base = np.full(n_s, -37, np.int64)
+            else:
+                base = rng.integers(-(1 << (14 - w)), 1 << (14 - w), n_s).astype(np.int64)
+            pcm = (base << w).astype(np.int16)
+            bits = _wasted_subframe_bits(kind, base, w)
+            hdr = bytes([0xFF, 0xF8, 0x70, 0x08]) + flac.utf8_encode(0)
+            hdr += _s.pack(">H", n_s - 1)
+            hdr += bytes([flac.crc8(hdr)])
+            frame = (hdr + bytes([(stype << 1) | 1])
+                     + np.packbits(bits).tobytes())
+            frame += _s.pack(">H", flac.crc16(frame))
+            b = flac.streaminfo(8000, n_s) + frame
+            assert np.array_equal(_i16(flac.decode(b)), pcm), (kind, w)
+
+
+def test_single_byte_corruption_never_reaches_the_stub():
+    """The r5 theorem: for an in-subset stream, ANY single-byte corruption
+    past the metadata block is a violation (or decodes identically) —
+    NEVER routed to the plumbing-pass stub. Header flips fail the CRC-8
+    before subset routing; subframe/body flips fail structure or CRC-16."""
+    pcm = _sine(6000)
+    for predictor in ("fixed", "verbatim", "lpc"):
+        ba = bytearray(flac.encode(pcm, 8000, predictor=predictor))
+        rng = np.random.default_rng(17)
+        idx = rng.choice(np.arange(42, len(ba)), size=300, replace=False)
+        for i in idx:
+            orig = ba[i]
+            ba[i] ^= int(rng.integers(1, 256))
+            try:
+                out = flac.decode(bytes(ba))
+                assert np.array_equal(_i16(out), pcm), (predictor, int(i))
+            except ValueError:
+                pass
+            except NotImplementedError as e:
+                raise AssertionError(
+                    f"corruption routed to stub: {predictor} byte {i}: {e}"
+                )
+            ba[i] = orig
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +396,7 @@ def test_fixed_partitioned_and_rice2_and_escape_decode():
         assert np.array_equal(_i16(out), pcm), (method, porder, escape_part)
 
 
-def test_reserved_subframe_type_is_violation_wasted_is_stub():
+def test_reserved_subframe_type_and_flipped_wasted_flag_are_violations():
     pcm = _sine(3000)
     b = bytearray(flac.encode(pcm, 8000, predictor="fixed"))
     # find the subframe header byte: streaminfo(42) + frame header 8 bytes
@@ -291,8 +408,8 @@ def test_reserved_subframe_type_is_violation_wasted_is_stub():
     b[sub_at] = 0x20 << 1  # LPC header over a fixed-frame body (r5b: LPC is
     with pytest.raises(ValueError):  # IN subset now, so this is corruption)
         flac.decode(bytes(b))
-    b[sub_at] = orig | 0x01  # wasted-bits flag -> out of subset
-    with pytest.raises(NotImplementedError):
+    b[sub_at] = orig | 0x01  # wasted-bits flag flipped onto a non-shifted
+    with pytest.raises(ValueError):  # body: decodes wrong -> CRC-16/structure
         flac.decode(bytes(b))
 
 
