@@ -215,3 +215,72 @@ def segment_clips(clips: DataFrame, seg_ms: int = 1000) -> DataFrame:
     return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInArrow(
         run, schema=SEGMENTS_SCHEMA
     )
+
+
+RESAMPLE_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, n_samples long"
+)
+
+
+def resample_pcm(pcm: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Linear-interpolation resample of float32 PCM (the audio analog of an
+    image resize): n_out = round(n * target/sr); exact identity when
+    target_sr == sr. Pure numpy (one np.interp), the per-clip reference for
+    the Arrow batch op and the tests."""
+    n = len(pcm)
+    if target_sr == sr or n == 0:
+        return pcm
+    n_out = int(round(n * target_sr / sr))
+    if n_out <= 0:
+        return pcm[:0]
+    # sample positions of the output grid on the input's index axis
+    t = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+    return np.interp(t, np.arange(n, dtype=np.float64), pcm).astype(np.float32)
+
+
+def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
+    """Multimodal 'resize': bring every decodable clip to one sample rate
+    (training pipelines need uniform-rate inputs), re-encapsulated as
+    canonical WAV. One mapInArrow pass over the bare clips scan — the
+    binary column never enters a join; undecodable/corrupt clips contribute
+    zero rows (corruption reporting is the invariant pass's job)."""
+    from engine import audio as audio_mod
+    from engine.synth import wav_header
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            blob = cols["bytes"]
+            clip_ids = cols["clip_id"].to_pylist()
+            codecs = cols["codec"].to_pylist()
+            srs = cols["sr_hz"].to_numpy(zero_copy_only=False)
+            o_id, o_bytes, o_dur, o_n = [], [], [], []
+            for j in range(rb.num_rows):
+                if not blob[j].is_valid:
+                    continue
+                try:
+                    pcm = audio_mod.decode(blob[j].as_buffer(), codecs[j])
+                except (NotImplementedError, ValueError):
+                    continue
+                out = resample_pcm(pcm, int(srs[j]), target_sr)
+                i16 = np.clip(out * 32768.0, -32768, 32767).astype("<i2")
+                o_id.append(clip_ids[j])
+                o_bytes.append(wav_header(target_sr, 2 * len(i16)) + i16.tobytes())
+                o_dur.append(int(len(i16) * 1000 / target_sr))
+                o_n.append(len(i16))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.string()),
+                    pa.array(o_bytes, type=pa.binary()),
+                    pa.array([target_sr] * len(o_id), type=pa.int32()),
+                    pa.array(o_dur, type=pa.int32()),
+                    pa.array(o_n, type=pa.int64()),
+                ],
+                names=["clip_id", "bytes", "sr_hz", "dur_ms", "n_samples"],
+            )
+
+    return clips.select("clip_id", "bytes", "sr_hz", "codec").mapInArrow(
+        run, schema=RESAMPLE_SCHEMA
+    )

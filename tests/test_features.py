@@ -139,3 +139,49 @@ def test_dominant_hz_odd_length_uses_true_sample_count():
         pcm = np.sin(2 * np.pi * f * np.arange(n) / sr).astype(np.float32)
         _, _, dom, _ = pcm_features(pcm, sr)
         assert abs(dom - f) < sr / n + 1e-9, (n, dom)
+
+
+def test_resample_pcm_identity_length_and_tone():
+    import numpy as np
+
+    from engine.features import pcm_features, resample_pcm
+
+    sr, f = 8000, 440.0
+    pcm = np.sin(2 * np.pi * f * np.arange(8000) / sr).astype(np.float32)
+    # identity
+    assert resample_pcm(pcm, sr, sr) is pcm
+    for target in (16000, 22050, 4000):
+        out = resample_pcm(pcm, sr, target)
+        assert len(out) == round(len(pcm) * target / sr)
+        if target >= 2 * f:  # tone below Nyquist must survive the resample
+            _, _, dom, _ = pcm_features(out, target)
+            assert abs(dom - f) < 2.0, (target, dom)
+
+
+def test_resample_clips_uniform_rate(spark, clips):
+    import numpy as np
+
+    from engine import audio as audio_mod
+    from engine.features import resample_clips, resample_pcm
+
+    out = resample_clips(clips, 16000)
+    rows = out.limit(200).collect()
+    assert len(rows) > 50
+    src = {r["clip_id"]: r for r in clips.limit(400).collect()}
+    checked = 0
+    for r in rows:
+        assert r["sr_hz"] == 16000
+        assert r["n_samples"] == len(bytes(r["bytes"][44:])) // 2
+        s = src.get(r["clip_id"])
+        if s is None:
+            continue
+        try:
+            pcm = audio_mod.decode(bytes(s["bytes"]), s["codec"])
+        except (NotImplementedError, ValueError):
+            continue
+        exp = resample_pcm(pcm, s["sr_hz"], 16000)
+        got = np.frombuffer(bytes(r["bytes"])[44:], dtype="<i2")
+        ref = np.clip(exp * 32768.0, -32768, 32767).astype("<i2")
+        assert np.array_equal(got, ref), r["clip_id"]
+        checked += 1
+    assert checked > 20
