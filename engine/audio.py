@@ -110,6 +110,7 @@ def walk_ogg_pages(
     storeds: list[int] = []       # stored crc32 per page
     payloads: list[bytes] = []    # page payload (packet data) per page
     last_type = 0
+    last_granule = None
     while pos < n:
         if pos + 27 > n or bytes(mv[pos : pos + 4]) != b"OggS" or mv[pos + 4] != 0:
             raise ValueError("bad_ogg_page")
@@ -118,6 +119,7 @@ def walk_ogg_pages(
             raise ValueError("bad_ogg_page")       # first page must be BOS
         pser = struct.unpack("<I", mv[pos + 14 : pos + 18])[0]
         pseq = struct.unpack("<I", mv[pos + 18 : pos + 22])[0]
+        granule = struct.unpack("<q", mv[pos + 6 : pos + 14])[0]
         if serial is None:
             serial = pser
         if pser != serial or pseq != idx:
@@ -160,6 +162,14 @@ def walk_ogg_pages(
         storeds.append(stored)
         if collect_payloads:
             payloads.append(bytes(mv[pos + 27 + n_segs : pos + page_len]))
+        # granule positions must be non-decreasing along the stream
+        # (RFC 3533 s6; -1 marks a page with no completed packet) — an
+        # out-of-order granule with VALID CRCs is an encoder/cross-field
+        # inconsistency no checksum can see (r5)
+        if granule != -1:
+            if last_granule is not None and granule < last_granule:
+                raise ValueError("bad_ogg_page")
+            last_granule = granule
         last_type = htype
         pos += page_len
         idx += 1

@@ -252,3 +252,35 @@ def test_ogg_corrupt_first_link_then_chain_stays_violation():
     # sanity: with an uncorrupted first link the chained route still applies
     with pytest.raises(NotImplementedError, match="ogg_chained"):
         audio.validate_ogg_stream(ogg_opus_bytes(8000, body) + link2)
+
+
+def test_ogg_granule_regression_is_violation_even_with_valid_crcs():
+    """A page whose granule position goes BACKWARD (with its CRC
+    recomputed, so every checksum verifies) is an encoder-level
+    inconsistency only the cross-field granule check can see (r5)."""
+    import struct as _s
+
+    from engine.oggcrc import crc32
+
+    b = bytearray(ogg_opus_bytes(8000, b"\x01" * 9000))
+    # find the third data page (granule 960*(j+1)) and rewind its granule
+    pos, idx, target = 0, 0, None
+    while pos < len(b):
+        n_segs = b[pos + 26]
+        plen = 27 + n_segs + sum(b[pos + 27 : pos + 27 + n_segs])
+        if idx == 4:  # BOS, tags, data0, data1, data2 -> rewind data2
+            target = pos
+            break
+        pos += plen
+        idx += 1
+    assert target is not None
+    b[target + 6 : target + 14] = _s.pack("<q", 1)  # far below data1's granule
+    n_segs = b[target + 26]
+    plen = 27 + n_segs + sum(b[target + 27 : target + 27 + n_segs])
+    b[target + 22 : target + 26] = b"\x00" * 4
+    crc = crc32(bytes(b[target : target + plen]))
+    b[target + 22 : target + 26] = _s.pack("<I", crc)
+    with pytest.raises(ValueError, match="bad_ogg_page"):
+        audio.validate_ogg_stream(bytes(b))
+    # sanity: the unmodified stream still validates
+    audio.validate_ogg_stream(ogg_opus_bytes(8000, b"\x01" * 9000))
