@@ -9,10 +9,11 @@ dimension. Zero per-row Python on the Spark side: ``mapInPandas`` receives
 whole Arrow batches; the per-clip numpy work is vectorized C inside the batch.
 
 Container decode is pure numpy (this sandbox ships no audio libs): a
-canonical-WAV parser plus a real FLAC verbatim-subset decoder with CRC
-verification (engine/flac.py) — in BOTH containers: native 'fLaC' and
-Ogg-FLAC (xiph FLAC-to-Ogg mapping; full page walk + packet reassembly +
-frame decode, r4). opus/mp3 plug into the same ``decode`` seam — the full
+canonical-WAV parser plus a complete mono/16-bit FLAC decoder with CRC
+verification (engine/flac.py — constant/verbatim/fixed/LPC subframes,
+Rice residuals, wasted bits, both blocking strategies, r5) — in BOTH
+containers: native 'fLaC' and Ogg-FLAC (xiph FLAC-to-Ogg mapping; full
+page walk + packet reassembly + frame decode, r4). opus/mp3 plug into the same ``decode`` seam — the full
 container STRUCTURE is validated (every Ogg page CRC-32, every MP3
 frame-header hop) before the packet-decode stub raises NotImplementedError;
 the Spark-side plumbing (schema, batching, join) is identical and is what we
