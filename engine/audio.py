@@ -305,28 +305,48 @@ def _decode_ogg_flac_parts(b):
                 raise ValueError("codec_container_mismatch")
         raise NotImplementedError("codec_decoder_missing:ogg_mapping")
     native = first[9:] + b"".join(payloads[1:])
-    pcm, frames, fstored = flac_mod.parse(native)
+    pcm, frames, fstored, nch = flac_mod.parse(native)
     # flac group FIRST: the batch override loop processes groups in this
     # order, so a page-CRC failure wins the error string (pages were always
     # verified before frames)
-    return pcm, (("flac", frames, fstored), ("ogg", pages, stored))
+    return pcm, nch, (("flac", frames, fstored), ("ogg", pages, stored))
 
 
 def decode(b: bytes, codec: str | None) -> np.ndarray:
+    return decode_with_channels(b, codec)[0]
+
+
+def decode_mono(b, codec: str | None) -> np.ndarray:
+    """``decode`` + downmix: stereo clips average to (L+R)/2 float32 so
+    per-sample consumers (feature extraction, segmentation, resampling —
+    engine/features.py) see ONE uniform channel layout and per-CHANNEL
+    sample counts; raises exactly like ``decode``."""
+    pcm, nch = decode_with_channels(b, codec)
+    if nch == 1:
+        return pcm
+    return (pcm[0::2] + pcm[1::2]) * np.float32(0.5)
+
+
+def decode_with_channels(b, codec: str | None) -> tuple[np.ndarray, int]:
+    """(interleaved_pcm_float32, channels). Channel count comes from the
+    container (the table schema carries no channels column — BASELINE.json
+    input_hint), so multimodal consumers (features / segmentation /
+    resampling) can deinterleave without a side channel of metadata."""
     if codec in (None, "pcm_s16le", "wav"):
-        return decode_wav_pcm16(b)
+        return decode_wav_pcm16(b), 1
     if codec == "flac":
-        # REAL body decode (engine/flac.py): verbatim-subset frames to PCM,
-        # CRC-8 header + CRC-16 frame verification, in either container
-        # (native 'fLaC' or Ogg-FLAC). Corruption -> ValueError -> violation;
-        # valid-but-out-of-subset -> NotImplementedError -> plumbing pass
-        # (same contract as the remaining stubs).
+        # REAL body decode (engine/flac.py): in-subset frames to PCM
+        # (mono + stereo, 8-24 bit since r6), CRC-8 header + CRC-16 frame
+        # verification, in either container (native 'fLaC' or Ogg-FLAC).
+        # Corruption -> ValueError -> violation; valid-but-out-of-subset ->
+        # NotImplementedError -> plumbing pass (same contract as the
+        # remaining stubs).
         from engine import flac as flac_mod
 
         if b is not None and bytes(memoryview(b)[:4]) == b"OggS":
             from engine.oggcrc import crc32_many
 
-            pcm, deferred = _decode_ogg_flac_parts(b)
+            pcm, nch, deferred = _decode_ogg_flac_parts(b)
             groups = {kind: (chunks, stored) for kind, chunks, stored in deferred}
             pages, pstored = groups["ogg"]
             for c, s in zip(crc32_many(pages), pstored):
@@ -336,8 +356,8 @@ def decode(b: bytes, codec: str | None) -> np.ndarray:
             for c, s in zip(flac_mod.crc16_many(frames), fstored):
                 if int(c) != s:
                     raise ValueError("bad_flac_frame")
-            return pcm
-        return flac_mod.decode(b)
+            return pcm, nch
+        return flac_mod.decode_meta(b)
     if codec in _HEADER_VALIDATORS:
         # body decode requires codec libs not present in this image, but the
         # container header IS verified (magic / page CRC / frame sync) — a
@@ -361,8 +381,9 @@ def _decode_for_batch(b, codec: str | None):
         from engine import flac as flac_mod
 
         if b is not None and bytes(memoryview(b)[:4]) == b"OggS":
-            return _decode_ogg_flac_parts(b)
-        pcm, frames, stored = flac_mod.parse(b)
+            pcm, _nch, deferred = _decode_ogg_flac_parts(b)
+            return pcm, deferred
+        pcm, frames, stored, _nch = flac_mod.parse(b)
         return pcm, (("flac", frames, stored),)
     if codec == "opus":
         pages, stored, _ = walk_ogg_pages(b)
@@ -401,16 +422,22 @@ class FixtureExpected:
     generator path, ~-140 dB from it, irrelevant at the 30 dB threshold).
     Production deployments swap in a reference decode.
 
-    Implements the optional batch seam ``prepare(clip_ids, srs, durs)``:
-    the per-clip rng params (f1, phase) are derived for the WHOLE Arrow
-    batch in one vectorized pass (engine/fastrng.py — the per-clip
-    SeedSequence+Generator construction was ~50 us/clip, the largest line
-    in the UDF profile). ``__call__`` keeps the one-clip path for callers
-    outside the batch loop."""
+    Stereo-aware since r6: flac clips in the fixture's stereo share
+    (synth.flac_is_stereo — the codec column is part of the rule, since
+    only flac payloads carry a channel layout) expect the channel-
+    INTERLEAVED pair (L = the mono wave, R = same f1 at
+    phase + STEREO_PHASE_OFFSET), matching decode's interleaved output.
+
+    Implements the optional batch seam ``prepare(clip_ids, srs, durs,
+    codecs)``: the per-clip rng params (f1, phase) are derived for the
+    WHOLE Arrow batch in one vectorized pass (engine/fastrng.py — the
+    per-clip SeedSequence+Generator construction was ~50 us/clip, the
+    largest line in the UDF profile). ``__call__`` keeps the one-clip path
+    for callers outside the batch loop."""
 
     _SCALE = np.float32(32000.0 * 0.9 / 32768.0)  # generator's int16 scale
 
-    def prepare(self, clip_ids, srs, durs):
+    def prepare(self, clip_ids, srs, durs, codecs=None):
         ids = np.fromiter(
             (int(c.rsplit("_", 1)[1]) for c in clip_ids), np.int64, len(clip_ids)
         )
@@ -419,15 +446,31 @@ class FixtureExpected:
         def row(j: int) -> np.ndarray:
             sr = int(srs[j])
             n_samp = min(int(sr * max(int(durs[j]), 200) / 1000), 200_000)
-            return synth.wave32(f1[j], phase[j], sr, n_samp) * self._SCALE
+            left = synth.wave32(f1[j], phase[j], sr, n_samp)
+            left *= self._SCALE
+            if (
+                codecs is not None
+                and codecs[j] == "flac"
+                and synth.flac_is_stereo(int(ids[j]))
+            ):
+                right = synth.wave32(
+                    f1[j], phase[j] + synth.STEREO_PHASE_OFFSET, sr, n_samp
+                )
+                right *= self._SCALE
+                out = np.empty(2 * n_samp, dtype=np.float32)
+                out[0::2] = left
+                out[1::2] = right
+                return out
+            return left
 
         return row
 
-    def __call__(self, clip_id: str, sr: int, dur_ms: int) -> np.ndarray:
-        # same parse as ``prepare`` (rsplit): ids with extra underscores must
-        # derive the same numeric id on both paths (ADVICE r4)
-        i = int(clip_id.rsplit("_", 1)[1])
-        return synth.clean_pcm32(i, sr, max(dur_ms, 200)) * self._SCALE
+    def __call__(
+        self, clip_id: str, sr: int, dur_ms: int, codec: str | None = None
+    ) -> np.ndarray:
+        # delegates to ``prepare`` so both paths share ONE id parse (rsplit
+        # — ADVICE r4) and one stereo rule
+        return self.prepare([clip_id], [sr], [max(dur_ms, 200)], [codec])(0)
 
 
 _default_expected = FixtureExpected()
@@ -533,12 +576,22 @@ def invariant_batches(batches, expected_fn, snr_min_db):
         prep = getattr(expected_fn, "prepare", None)
         if prep is not None:
             try:
-                row_expected = prep(clip_ids, srs, durs)
+                row_expected = prep(clip_ids, srs, durs, codecs)
+            except TypeError:
+                try:
+                    row_expected = prep(clip_ids, srs, durs)  # pre-r6 seam
+                except Exception:
+                    row_expected = None
             except Exception:
                 row_expected = None  # e.g. unparseable ids -> per-row path
         if row_expected is None:
             def row_expected(j):
-                return expected_fn(clip_ids[j], int(srs[j]), int(durs[j]))
+                try:
+                    return expected_fn(
+                        clip_ids[j], int(srs[j]), int(durs[j]), codecs[j]
+                    )
+                except TypeError:  # pre-r6 three-arg expected_fn
+                    return expected_fn(clip_ids[j], int(srs[j]), int(durs[j]))
 
         bytes_null = np.zeros(n, dtype=bool)
         pcm_ok = np.zeros(n, dtype=bool)

@@ -89,7 +89,7 @@ def audio_features(clips: DataFrame) -> DataFrame:
                     out["decode_error"][j] = "short_or_null_payload"
                     continue
                 try:
-                    pcm = audio_mod.decode(blob[j].as_buffer(), codecs[j])
+                    pcm = audio_mod.decode_mono(blob[j].as_buffer(), codecs[j])
                 except NotImplementedError:
                     out["decode_error"][j] = "codec_decoder_missing"
                     continue
@@ -185,7 +185,7 @@ def segment_clips(clips: DataFrame, seg_ms: int = 1000) -> DataFrame:
                 if not blob[j].is_valid:
                     continue
                 try:
-                    pcm = audio_mod.decode(blob[j].as_buffer(), codecs[j])
+                    pcm = audio_mod.decode_mono(blob[j].as_buffer(), codecs[j])
                 except (NotImplementedError, ValueError):
                     continue
                 sr = int(srs[j])
@@ -261,7 +261,7 @@ def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
                 if not blob[j].is_valid:
                     continue
                 try:
-                    pcm = audio_mod.decode(blob[j].as_buffer(), codecs[j])
+                    pcm = audio_mod.decode_mono(blob[j].as_buffer(), codecs[j])
                 except (NotImplementedError, ValueError):
                     continue
                 out = resample_pcm(pcm, int(srs[j]), target_sr)

@@ -339,9 +339,9 @@ def _decode_residual_section(
 ) -> tuple[np.ndarray, int]:
     """Decode a coded-residual section (spec 9.2.7: 2-bit method, 4-bit
     partition order, rice/escape partitions) starting at the absolute BIT
-    offset ``start_bit`` — byte-aligned for FIXED subframes, arbitrary for
-    LPC (the coefficient fields before it are not byte-padded). Returns
-    (residuals, end_byte) after verifying the zero byte-align padding.
+    offset ``start_bit`` (arbitrary: subframes are bit-contiguous within a
+    frame). Returns (residuals, end_bit); the frame-level caller byte-aligns
+    after the LAST subframe and verifies the zero padding.
 
     The bit machinery (unpackbits / flatnonzero / prefix-sum) runs on a
     FRAME-LOCAL window sized from the first partition's rice parameter, not
@@ -393,12 +393,13 @@ def _decode_residual_section(
                     vals, bp = rice_decode_block(bits, ones, S, bp, cnt, pk, local)
                 resids.append(vals)
             resid = np.concatenate(resids) if len(resids) > 1 else resids[0]
-            end = wstart + ((bp + 7) >> 3)
-            if end + 2 > n:
+            # end is the absolute BIT offset: subframes are bit-contiguous
+            # within a frame (only the LAST one is byte-padded, by the
+            # frame-level _align_checked) — r6 stereo support
+            end_bit = wstart * 8 + bp
+            if (end_bit >> 3) + 2 > n:
                 raise ValueError("bad_flac_frame")
-            if np.any(bits[bp : (end - wstart) * 8]):
-                raise ValueError("bad_flac_frame")  # byte-align pad must be 0
-            return resid, end
+            return resid, end_bit
         except ValueError:
             if wlimit < n:  # the window, not the stream, may have run out
                 W *= 4
@@ -413,6 +414,12 @@ _BS_TABLE = {
     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
     13: 8192, 14: 16384, 15: 32768,
 }
+
+#: frame-header sample-size table (spec 9.1.4): bits per sample by code;
+#: 0b000 = from STREAMINFO, 0b011 reserved (rejected before lookup),
+#: 0b111 = 32-bit (RFC 9639) — outside the subset, caught by the
+#: STREAMINFO cross-check (a <=24-bit stream never carries it)
+_SS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
 def _align_checked(mv, n: int, end_bit: int) -> int:
@@ -437,49 +444,56 @@ def _local_bits(stream: np.ndarray, n: int, start_bit: int, n_bits: int):
     return np.unpackbits(stream[b0:b1]), start_bit - b0 * 8
 
 
-def _decode_subframe(mv, stream: np.ndarray, n: int, pos2: int, bs: int):
-    """One mono 16-bit subframe starting at the byte-aligned header byte
-    ``pos2``: handles CONSTANT / VERBATIM / FIXED / LPC, with or without
-    wasted-bits shifting (spec 9.2.2: a set flag is followed by a unary
-    count w; the body is coded at 16-w bits and the decoded samples are
-    shifted left by w). Returns (samples, end_byte). Reserved subframe
-    types are corruption (ValueError), never a stub."""
-    sub = mv[pos2]
+def _decode_subframe(
+    mv, stream: np.ndarray, n: int, start_bit: int, bs: int, bps: int
+):
+    """One subframe of ``bps`` bits/sample starting at the absolute BIT
+    offset ``start_bit`` (byte-aligned only for the FIRST subframe of a
+    frame — stereo second subframes start mid-byte): handles CONSTANT /
+    VERBATIM / FIXED / LPC, with or without wasted-bits shifting (spec
+    9.2.2: a set flag is followed by a unary count w; the body is coded at
+    bps-w bits and the decoded samples are shifted left by w). Side
+    channels of stereo decorrelation pass bps+1. Returns (samples,
+    end_bit) — bit-exact, no alignment: the frame decoder byte-aligns
+    after the last subframe. Reserved subframe types are corruption
+    (ValueError), never a stub."""
+    sub = _peek_bits(mv, n, start_bit, 8)
     if sub & 0x80:
         raise ValueError("bad_flac_frame")  # padding bit must be 0
     stype = (sub >> 1) & 0x3F
-    bit = (pos2 + 1) * 8
+    bit = start_bit + 8
     w = 0
     if sub & 0x01:
         z = 0
         while _peek_bits(mv, n, bit + z, 1) == 0:
             z += 1
-            if z > 14:  # 16 - w must stay >= 1
+            if z > bps - 2:  # bps - w must stay >= 1
                 raise ValueError("bad_flac_frame")
         w = z + 1
         bit += z + 1
-    bps = 16 - w
-    if stype == 0x00:  # CONSTANT: one bps-bit value for the whole block
-        v = _peek_bits(mv, n, bit, bps)
-        if v >= 1 << (bps - 1):
-            v -= 1 << bps
-        end = _align_checked(mv, n, bit + bps)
-        return np.full(bs, v << w, dtype=np.int64), end
-    if stype == 0x01:  # VERBATIM: bs raw bps-bit samples
-        if w == 0:  # byte-aligned 16-bit: zero-copy numpy fast path
+    ebps = bps - w  # effective coded width (<= 25: side channel of 24-bit)
+    if stype == 0x00:  # CONSTANT: one ebps-bit value for the whole block
+        v = _peek_bits(mv, n, bit, ebps)
+        if v >= 1 << (ebps - 1):
+            v -= 1 << ebps
+        return np.full(bs, v << w, dtype=np.int64), bit + ebps
+    if stype == 0x01:  # VERBATIM: bs raw ebps-bit samples
+        if ebps == 16 and w == 0 and (bit & 7) == 0:
+            # byte-aligned 16-bit fast path; int16 keeps the hot path's
+            # memory traffic (w>0 would need the wider post-shift range)
             start = bit >> 3
             end = start + 2 * bs
             if end + 2 > n:
                 raise ValueError("bad_flac_frame")
-            return np.frombuffer(mv[start:end], dtype=">i2").astype(np.int16), end
-        bits_l, off = _local_bits(stream, n, bit, bs * bps)
-        vals, _ = raw_decode_block(bits_l, off, bs, bps)
-        return vals << w, _align_checked(mv, n, bit + bs * bps)
+            return np.frombuffer(mv[start:end], dtype=">i2").astype(np.int16), end * 8
+        bits_l, off = _local_bits(stream, n, bit, bs * ebps)
+        vals, _ = raw_decode_block(bits_l, off, bs, ebps)
+        return vals << w, bit + bs * ebps
     if 0x08 <= stype <= 0x0C or stype & 0x20:
         order = ((stype & 0x1F) + 1) if stype & 0x20 else stype - 0x08
         if order > bs:
             raise ValueError("bad_flac_frame")
-        if w == 0:  # byte-aligned warmup fast path
+        if ebps == 16 and (bit & 7) == 0 and order:  # byte-aligned fast path
             start = bit >> 3
             wend = start + 2 * order
             if wend > n:
@@ -487,9 +501,9 @@ def _decode_subframe(mv, stream: np.ndarray, n: int, pos2: int, bs: int):
             warmup = np.frombuffer(mv[start:wend], dtype=">i2").astype(np.int64)
             bit = wend * 8
         elif order:
-            bits_l, off = _local_bits(stream, n, bit, order * bps)
-            warmup, _ = raw_decode_block(bits_l, off, order, bps)
-            bit += order * bps
+            bits_l, off = _local_bits(stream, n, bit, order * ebps)
+            warmup, _ = raw_decode_block(bits_l, off, order, ebps)
+            bit += order * ebps
         else:
             warmup = np.zeros(0, dtype=np.int64)
         if stype & 0x20:  # LPC: precision / shift / quantized coefficients
@@ -591,7 +605,10 @@ def lpc_reconstruct(warmup, resid: np.ndarray, coefs, shift: int) -> np.ndarray:
             v5 = r5 + ((c0*v4 + c1*v3 + c2*v2 + c3*v1 + c4*v0 + c5*s0 + c6*s1 + c7*s2) >> sh)
             v6 = r6 + ((c0*v5 + c1*v4 + c2*v3 + c3*v2 + c4*v1 + c5*v0 + c6*s0 + c7*s1) >> sh)
             v7 = r7 + ((c0*v6 + c1*v5 + c2*v4 + c3*v3 + c4*v2 + c5*v1 + c6*v0 + c7*s0) >> sh)
-            if not -LIM < v7 < LIM:
+            # bound-check BOTH an early and the last lane: checking v7 alone
+            # lets a crafted stream grow the unchecked lanes multiplicatively
+            # while cancelling back below LIM at v7 (ADVICE r5)
+            if not (-LIM < v7 < LIM and -LIM < v0 < LIM):
                 raise ValueError("bad_flac_frame")
             ext((v0, v1, v2, v3, v4, v5, v6, v7))
             s0, s1, s2, s3, s4, s5, s6, s7 = v7, v6, v5, v4, v3, v2, v1, v0
@@ -636,9 +653,16 @@ def reconstruct_fixed(
 # encode
 # ---------------------------------------------------------------------------
 
-def streaminfo(sr: int, n_samples: int, blocksize: int = BLOCKSIZE) -> bytes:
-    """'fLaC' magic + last-block STREAMINFO (mono, 16 bps)."""
-    packed = (sr << 44) | (0 << 41) | (15 << 36) | (n_samples & ((1 << 36) - 1))
+def streaminfo(
+    sr: int, n_samples: int, blocksize: int = BLOCKSIZE,
+    channels: int = 1, bps: int = 16,
+) -> bytes:
+    """'fLaC' magic + last-block STREAMINFO. ``n_samples`` is interchannel
+    (per-channel sample count, spec 8.2)."""
+    packed = (
+        (sr << 44) | ((channels - 1) << 41) | ((bps - 1) << 36)
+        | (n_samples & ((1 << 36) - 1))
+    )
     si = (
         struct.pack(">HH", blocksize, blocksize)
         + b"\x00\x00\x00" + b"\x00\x00\x00"  # min/max framesize unknown
@@ -648,21 +672,40 @@ def streaminfo(sr: int, n_samples: int, blocksize: int = BLOCKSIZE) -> bytes:
     return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
 
 
-def _fixed_subframe(
-    blk: np.ndarray, corrupt_warmup: bool, order: int | None = None
-) -> bytes:
-    """One FIXED subframe (header byte + warmup + rice residual section,
-    byte-padded). Order is chosen like real encoders do — smallest
+def _byte_bits(v: int) -> np.ndarray:
+    return np.unpackbits(np.array([v], dtype=np.uint8))
+
+
+def int_bits(vals, nbits: int) -> np.ndarray:
+    """Two's-complement MSB-first bits of each value, flattened — the
+    building block for non-byte-aligned fields (stereo second subframes,
+    non-16-bit warmup/verbatim bodies)."""
+    v = np.asarray(vals, dtype=np.int64) & ((1 << nbits) - 1)
+    return (
+        (v[:, None] >> np.arange(nbits - 1, -1, -1)) & 1
+    ).astype(np.uint8).ravel()
+
+
+def _fixed_subframe_bits(
+    blk: np.ndarray,
+    bps: int = 16,
+    corrupt_warmup: bool = False,
+    order: int | None = None,
+    warmup_shift: int = 4096,
+) -> np.ndarray:
+    """One FIXED subframe as a BIT array (header byte + warmup + rice
+    residual section, unpadded — subframes are bit-contiguous within a
+    frame). Order is chosen like real encoders do — smallest
     sum(|residual|) over orders 0-4 (deterministic).
 
     ``corrupt_warmup`` is the r5 planting hook: the WRITTEN warmup samples
-    are shifted by +4096 while the residuals stay derived from the true
-    warmup, producing a perfectly VALID frame (CRC-8/CRC-16/paging all
-    consistent) that decodes to a wrong signal — only genuine predictor
+    are shifted by ``warmup_shift`` while the residuals stay derived from
+    the true warmup, producing a perfectly VALID frame (CRC-8/CRC-16/paging
+    all consistent) that decodes to a wrong signal — only genuine predictor
     reconstruction + SNR compare can catch it. Order is forced to 1 so the
-    injected error is a constant offset (amplitude 1/8) in every frame:
-    SNR ~= 14 dB << 30 regardless of clip length, with no clipping and no
-    zero-crossing-rate shift."""
+    injected error is a constant offset (amplitude 1/8 at the default
+    shift) in every frame: SNR ~= 10-14 dB << 30 regardless of clip
+    length, with no clipping and no zero-crossing-rate shift."""
     if corrupt_warmup:
         order = 1 if len(blk) >= 2 else 0
     elif order is None:
@@ -679,30 +722,32 @@ def _fixed_subframe(
     k = best_rice_k(u)
     warmup = blk[:order].astype(np.int64)
     if corrupt_warmup and order:
-        warmup = warmup + 4096
+        warmup = warmup + warmup_shift
     head = np.zeros(10, dtype=np.uint8)  # method 00 | partition order 0000 | k
     for j in range(4):
         head[6 + j] = (k >> (3 - j)) & 1
-    packed = np.packbits(np.concatenate([head, rice_encode_bits(u, k)]))
-    return (
-        bytes([(0x08 + order) << 1])
-        + warmup.astype(">i2").tobytes()
-        + packed.tobytes()
-    )
+    return np.concatenate([
+        _byte_bits((0x08 + order) << 1),
+        int_bits(warmup, bps),
+        head,
+        rice_encode_bits(u, k),
+    ])
 
 
-def _lpc_subframe(blk: np.ndarray, order: int = 8, precision: int = 12) -> bytes:
-    """One LPC subframe: Levinson-Durbin coefficients quantized to
-    ``precision`` bits, residual computed with EXACT integer prediction
-    (so decode is lossless), Rice-coded. Falls back to the fixed-predictor
-    family when the block is too short or degenerate."""
+def _lpc_subframe_bits(
+    blk: np.ndarray, bps: int = 16, order: int = 8, precision: int = 12
+) -> np.ndarray:
+    """One LPC subframe as a BIT array: Levinson-Durbin coefficients
+    quantized to ``precision`` bits, residual computed with EXACT integer
+    prediction (so decode is lossless), Rice-coded. Falls back to the
+    fixed-predictor family when the block is too short or degenerate."""
     n = len(blk)
     if n <= order + 1:
-        return _fixed_subframe(blk, False)
+        return _fixed_subframe_bits(blk, bps)
     x = blk.astype(np.float64)
     ac = np.array([float(np.dot(x[: n - j], x[j:])) for j in range(order + 1)])
     if ac[0] == 0.0:  # digital silence
-        return _fixed_subframe(blk, False)
+        return _fixed_subframe_bits(blk, bps)
     # Levinson-Durbin recursion
     err = ac[0]
     a = np.zeros(order)
@@ -715,7 +760,7 @@ def _lpc_subframe(blk: np.ndarray, order: int = 8, precision: int = 12) -> bytes
             break
     cmax = float(np.max(np.abs(a)))
     if not np.isfinite(cmax) or cmax == 0.0:
-        return _fixed_subframe(blk, False)
+        return _fixed_subframe_bits(blk, bps)
     # shift so the largest coefficient uses the full precision
     shift = precision - 1 - max(0, int(np.floor(np.log2(cmax))) + 1)
     shift = max(0, min(15, shift))
@@ -738,14 +783,36 @@ def _lpc_subframe(blk: np.ndarray, order: int = 8, precision: int = 12) -> bytes
     head += [0, 0, 0, 0, 0, 0]  # method 00, partition order 0000
     for j in range(4):
         head.append((k >> 3 - j) & 1)
-    packed = np.packbits(
-        np.concatenate([np.array(head, np.uint8), rice_encode_bits(u, k)])
-    )
-    return (
-        bytes([(0x20 | (order - 1)) << 1])
-        + blk[:order].astype(">i2").tobytes()
-        + packed.tobytes()
-    )
+    return np.concatenate([
+        _byte_bits((0x20 | (order - 1)) << 1),
+        int_bits(blk[:order], bps),
+        np.array(head, np.uint8),
+        rice_encode_bits(u, k),
+    ])
+
+
+def _subframe_bits(
+    blk: np.ndarray,
+    bps: int,
+    predictor: str,
+    corrupt_warmup: bool = False,
+    fixed_order: int | None = None,
+    warmup_shift: int = 4096,
+) -> np.ndarray:
+    if corrupt_warmup or predictor == "fixed":
+        return _fixed_subframe_bits(blk, bps, corrupt_warmup, fixed_order,
+                                    warmup_shift)
+    if predictor == "lpc":
+        return _lpc_subframe_bits(blk, bps)
+    return np.concatenate([_byte_bits(0x02), int_bits(blk, bps)])  # verbatim
+
+
+#: stereo channel-assignment cycle: frame fi uses MODES[(fi + mode_seed) % 4]
+#: so every multi-frame clip exercises independent L/R AND all three
+#: decorrelated modes; single-frame clips vary by mode_seed (the clip id)
+STEREO_MODES = (0b0001, 0b1000, 0b1001, 0b1010)  # L/R, left-side, right-side, mid-side
+
+_SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
 
 
 def encode_frames(
@@ -754,25 +821,75 @@ def encode_frames(
     predictor: str = "verbatim",
     corrupt_warmup: bool = False,
     fixed_order: int | None = None,
+    channels: int = 1,
+    bps: int = 16,
+    corrupt_side_warmup: bool = False,
+    mode_seed: int = 0,
 ) -> bytes:
-    """Fixed-blocksize frames, mono int16. ``predictor`` picks the subframe
-    family: 'verbatim' (raw samples) or 'fixed' (orders 0-4, Rice residuals
-    — the real-world-shaped stream)."""
+    """Fixed-blocksize frames. Mono 16-bit keeps the r5 byte-level fast
+    paths; stereo (channel-interleaved ``pcm``, all four channel-assignment
+    modes cycled per frame) and 8/12/20/24-bit go through the bit-level
+    assembler, since their subframes are not byte-aligned.
+
+    ``corrupt_side_warmup`` is the r6 stereo planting hook: every frame is
+    forced to left-side mode and the SIDE subframe's written warmup is
+    shifted — all CRCs verify, both subframes decode, but the reconstructed
+    RIGHT channel (R = L - side) carries a constant offset: only genuine
+    stereo decorrelation + the SNR compare can catch it."""
     out = []
-    for fi, start in enumerate(range(0, len(pcm), blocksize)):
-        blk = pcm[start : start + blocksize]
+    n_per = len(pcm) // channels
+    ss_code = _SS_CODE[bps]
+    shift = 4096 << max(0, bps - 16)
+    for fi, start in enumerate(range(0, n_per, blocksize)):
+        if channels == 2:
+            blk2 = np.asarray(pcm[2 * start : 2 * (start + blocksize)], dtype=np.int64)
+            left, right = blk2[0::2], blk2[1::2]
+            ch_code = 0b1000 if corrupt_side_warmup else \
+                STEREO_MODES[(fi + mode_seed) % 4]
+            nblk = len(left)
+        else:
+            blk = pcm[start : start + blocksize]
+            ch_code = 0
+            nblk = len(blk)
         # sync(14) 0b11111111111110 | reserved 0 | fixed-blocksize 0;
         # blocksize code 0b0111 (16-bit at end) | sr code 0b0000 (STREAMINFO);
-        # channels 0b0000 (mono) | sample size 0b100 (16) | reserved 0
-        hdr = bytes([0xFF, 0xF8, 0x70, 0x08]) + utf8_encode(fi)
-        hdr += struct.pack(">H", len(blk) - 1)
+        # channel assignment | sample-size code | reserved 0
+        hdr = bytes([0xFF, 0xF8, 0x70, (ch_code << 4) | (ss_code << 1)])
+        hdr += utf8_encode(fi)
+        hdr += struct.pack(">H", nblk - 1)
         hdr += bytes([crc8(hdr)])
-        if predictor == "fixed":
-            frame = hdr + _fixed_subframe(blk, corrupt_warmup, fixed_order)
-        elif predictor == "lpc":
-            frame = hdr + _lpc_subframe(blk)
+        if channels == 1 and bps == 16 and predictor == "verbatim" \
+                and not corrupt_warmup:
+            frame = hdr + b"\x02" + blk.astype(">i2").tobytes()  # fast path
         else:
-            frame = hdr + b"\x02" + blk.astype(">i2").tobytes()  # 0x02 = verbatim
+            if channels == 2:
+                if ch_code == 0b0001:
+                    parts = [_subframe_bits(left, bps, predictor),
+                             _subframe_bits(right, bps, predictor)]
+                else:
+                    side = left - right
+                    if ch_code == 0b1000:
+                        parts = [
+                            _subframe_bits(left, bps, predictor),
+                            _subframe_bits(side, bps + 1, predictor,
+                                           corrupt_side_warmup, None, shift),
+                        ]
+                    elif ch_code == 0b1001:
+                        parts = [_subframe_bits(side, bps + 1, predictor),
+                                 _subframe_bits(right, bps, predictor)]
+                    else:
+                        mid = (left + right) >> 1
+                        parts = [_subframe_bits(mid, bps, predictor),
+                                 _subframe_bits(side, bps + 1, predictor)]
+            else:
+                parts = [_subframe_bits(np.asarray(blk, dtype=np.int64), bps,
+                                        predictor, corrupt_warmup,
+                                        fixed_order, shift)]
+            bits = np.concatenate(parts)
+            pad = (-len(bits)) % 8
+            if pad:
+                bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
+            frame = hdr + np.packbits(bits).tobytes()
         out.append(frame + struct.pack(">H", crc16(frame)))
     return b"".join(out)
 
@@ -784,12 +901,20 @@ def encode(
     predictor: str = "verbatim",
     corrupt_warmup: bool = False,
     fixed_order: int | None = None,
+    channels: int = 1,
+    bps: int = 16,
+    corrupt_side_warmup: bool = False,
+    mode_seed: int = 0,
 ) -> bytes:
-    """Full container. ``streaminfo_sr`` overrides the DECLARED rate (used by
-    the sr_metadata_mismatch plant) without touching the frame payload."""
-    return streaminfo(streaminfo_sr or sr, len(pcm)) + encode_frames(
+    """Full container; ``pcm`` is channel-interleaved when channels=2.
+    ``streaminfo_sr`` overrides the DECLARED rate (used by the
+    sr_metadata_mismatch plant) without touching the frame payload."""
+    return streaminfo(
+        streaminfo_sr or sr, len(pcm) // channels, channels=channels, bps=bps
+    ) + encode_frames(
         pcm, predictor=predictor, corrupt_warmup=corrupt_warmup,
-        fixed_order=fixed_order,
+        fixed_order=fixed_order, channels=channels, bps=bps,
+        corrupt_side_warmup=corrupt_side_warmup, mode_seed=mode_seed,
     )
 
 
@@ -798,28 +923,34 @@ def encode(
 # ---------------------------------------------------------------------------
 
 def decode(b) -> np.ndarray:
-    """Decode a verbatim-subset FLAC container to float32 PCM in [-1, 1).
+    """Decode an in-subset FLAC container to float32 PCM in [-1, 1)
+    (stereo: channel-interleaved; ``decode_meta`` also reports the layout).
 
     Raises ValueError (-> violation) on any malformation: bad magic /
     STREAMINFO ('bad_flac_header'), bad sync, failed CRC-8/CRC-16, or a
     sample-count mismatch vs STREAMINFO ('bad_flac_frame'). Raises
-    NotImplementedError (-> plumbing pass) on valid-but-out-of-subset frames
-    (non-verbatim subframes, non-mono, non-16-bit)."""
-    pcm, frames, stored = parse(b)
+    NotImplementedError (-> plumbing pass) on valid-but-out-of-subset
+    streams (>2 channels, 32-bit samples)."""
+    return decode_meta(b)[0]
+
+
+def decode_meta(b) -> tuple[np.ndarray, int]:
+    """``decode`` plus the channel count: (interleaved_pcm32, channels)."""
+    pcm, frames, stored, nch = parse(b)
     crcs = crc16_many([f for f in frames])
     for c, s in zip(crcs, stored):
         if int(c) != s:
             raise ValueError("bad_flac_frame")
-    return pcm
+    return pcm, nch
 
 
-def parse(b) -> tuple[np.ndarray, list, list[int]]:
+def parse(b) -> tuple[np.ndarray, list, list[int], int]:
     """``decode`` minus the frame CRC-16 verification: returns
-    (pcm_float32, frame_bytes, stored_crc16s) so a caller holding MANY clips
-    can fold every frame of every clip into ONE batched tree reduction
-    (audio.invariant_batches) instead of one numpy call sequence per clip.
-    All structural checks (magic, STREAMINFO, sync, header CRC-8, sample
-    count) still raise here."""
+    (pcm_float32, frame_bytes, stored_crc16s, channels) so a caller holding
+    MANY clips can fold every frame of every clip into ONE batched tree
+    reduction (audio.invariant_batches) instead of one numpy call sequence
+    per clip. All structural checks (magic, STREAMINFO, sync, header CRC-8,
+    channel/bps cross-field conformance, sample count) still raise here."""
     from engine.oggcrc import as_u8
 
     mv = as_u8(b)  # pa.Buffer exposes signed bytes ('b'); index unsigned
@@ -850,7 +981,9 @@ def parse(b) -> tuple[np.ndarray, list, list[int]]:
             total_samples = packed & ((1 << 36) - 1)
             if not (1 <= sr <= 655350):
                 raise ValueError("bad_flac_header")
-            if channels != 1 or bps != 16:
+            if channels > 2 or bps not in (8, 12, 16, 20, 24):
+                # 3-8 channels and 32-bit samples: legal FLAC outside the
+                # subset (r6 widened the subset to stereo + 8-24 bit)
                 raise NotImplementedError("codec_decoder_missing:flac_subset")
             first = False
         pos += 4 + length
@@ -903,18 +1036,59 @@ def parse(b) -> tuple[np.ndarray, list, list[int]]:
         ss_code = (chan_bps >> 1) & 0x07
         if chan_bps & 0x01 or ss_code == 0b011 or channels_code >= 11:
             raise ValueError("bad_flac_frame")  # reserved bits / codes
-        if channels_code != 0:
-            # stereo / multi-channel: legal FLAC outside the mono subset
+        if channels_code < 2:
+            nch = channels_code + 1
+        elif channels_code in (8, 9, 10):
+            nch = 2  # left-side / right-side / mid-side stereo decorrelation
+        else:
+            # 3-8 independent channels: legal FLAC outside the subset
             raise NotImplementedError("codec_decoder_missing:flac_subset")
-        if ss_code not in (0, 0b100):  # 0 = from STREAMINFO (validated 16)
-            raise NotImplementedError("codec_decoder_missing:flac_subset")
+        if nch != channels:
+            # frames must conform to STREAMINFO (RFC 9639 §9.1.3): a channel
+            # count flip is a cross-field corruption, never a stub route
+            raise ValueError("bad_flac_frame")
+        if ss_code == 0:
+            fbps = bps  # from STREAMINFO (already validated in-subset)
+        else:
+            fbps = _SS_TABLE[ss_code]
+            if fbps != bps:
+                raise ValueError("bad_flac_frame")  # must match STREAMINFO
         if pos2 + 1 > n:
             raise ValueError("bad_flac_frame")
         if stream is None:
             stream = np.frombuffer(mv, dtype=np.uint8)  # zero-copy view
-        samples, end = _decode_subframe(mv, stream, n, pos2, bs)
-        if len(samples) != bs:
-            raise ValueError("bad_flac_frame")
+        bit = pos2 * 8
+        if channels_code < 2:
+            subs = []
+            for _c in range(nch):
+                s_c, bit = _decode_subframe(mv, stream, n, bit, bs, fbps)
+                subs.append(s_c)
+        else:
+            # decorrelated stereo: the SIDE channel carries fbps+1 bits
+            bps0 = fbps + (1 if channels_code == 9 else 0)
+            bps1 = fbps + (1 if channels_code in (8, 10) else 0)
+            c0, bit = _decode_subframe(mv, stream, n, bit, bs, bps0)
+            c1, bit = _decode_subframe(mv, stream, n, bit, bs, bps1)
+            c0 = c0.astype(np.int64)
+            c1 = c1.astype(np.int64)
+            if channels_code == 8:      # left-side: c1 = left - right
+                subs = [c0, c0 - c1]
+            elif channels_code == 9:    # right-side: c0 = left - right
+                subs = [c0 + c1, c1]
+            else:                       # mid-side (exact integer inverse:
+                # mid = (L+R)>>1 lost the LSB, restored from side's parity)
+                m2 = (c0 << 1) | (c1 & 1)
+                subs = [(m2 + c1) >> 1, (m2 - c1) >> 1]
+        end = _align_checked(mv, n, bit)
+        for s_c in subs:
+            if len(s_c) != bs:
+                raise ValueError("bad_flac_frame")
+        if nch == 1:
+            samples = subs[0]
+        else:
+            samples = np.empty(2 * bs, dtype=np.int64)
+            samples[0::2] = subs[0]
+            samples[1::2] = subs[1]
         stored = struct.unpack(">H", mv[end : end + 2])[0]
         frames.append((mv[fstart:end], stored))
         chunks.append(samples)
@@ -926,7 +1100,10 @@ def parse(b) -> tuple[np.ndarray, list, list[int]]:
     if not chunks:
         raise ValueError("bad_flac_frame")
     pcm = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-    # one fused pass: int16 -> float32 scale by the exact power of two
-    # (bit-identical to astype + divide, half the temporaries)
-    pcm32 = np.multiply(pcm, np.float32(1.0 / 32768.0), dtype=np.float32)
-    return pcm32, [f for f, _ in frames], [s for _, s in frames]
+    # one fused pass: int -> float32 scale by the exact power of two
+    # (bit-identical to astype + divide, half the temporaries); stereo is
+    # channel-INTERLEAVED (L R L R ...), ``channels`` reports the layout
+    pcm32 = np.multiply(
+        pcm, np.float32(1.0 / (1 << (bps - 1))), dtype=np.float32
+    )
+    return pcm32, [f for f, _ in frames], [s for _, s in frames], channels

@@ -1149,7 +1149,7 @@ _AUDIO_INV_ORACLE = f"""
     v AS (
       SELECT i,
         NOT (i % 2000 = 13 OR i % 3000 = 41 OR i % 2000 = 47
-             OR i % 3000 = 53 OR i % 2000 = 59) AS pcm_ok,
+             OR i % 3000 = 53 OR i % 2000 = 59 OR i % 2000 = 63) AS pcm_ok,
         NOT (i % 2000 = 29 OR i % 500 = 3 OR i % 1000 = 37) AS transcript_ok,
         NOT (i % 4000 = 43) AS meta_sr_ok,
         {_planted_decode_error_case()} AS decode_error,
@@ -1741,10 +1741,12 @@ _CLIPS_FULL_ORACLE = f"""
         -- wav PCM corruption + container-header corruption + flac frame-body
         -- corruption (real decode) + opus/mp3 mid-chain corruption (full
         -- page/frame-chain validation) + fixed-predictor warmup corruption
-        -- (every CRC valid; only reconstruction + SNR sees it, r5)
+        -- (every CRC valid; only reconstruction + SNR sees it, r5) + stereo
+        -- side-subframe warmup corruption (every CRC valid; only stereo
+        -- decorrelation R = L - side + SNR sees it, r6)
         (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 13 OR i % 3000 = 41
                                         OR i % 2000 = 47 OR i % 3000 = 53
-                                        OR i % 2000 = 59
+                                        OR i % 2000 = 59 OR i % 2000 = 63
                                        THEN w ELSE 0 END), 0) AS BIGINT) FROM b)
       UNION ALL SELECT 'transcript_equality',
         (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 29 OR i % 500 = 3

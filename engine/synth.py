@@ -51,7 +51,39 @@ RULES = {
                                              # warmup samples are shifted: every CRC
                                              # verifies, only genuine predictor
                                              # reconstruction + SNR sees it (r5)
+    "flac_stereo_side_corrupt": (2000, 63),  # STEREO left-side frames whose SIDE
+                                             # subframe warmup is shifted: every CRC
+                                             # verifies, both subframes decode, but
+                                             # R = L - side is offset — only genuine
+                                             # stereo decorrelation + SNR sees it
+                                             # (63%8==7 -> in the stereo share;
+                                             # 63%16==15 -> 24-bit; 63%3==0 -> the
+                                             # Ogg-FLAC container: the deepest
+                                             # reconstruction plant in the mix, r6)
 }
+
+#: stereo / 24-bit shares of the flac mix (r6). Residues chosen so every
+#: flac-forcing plant keeps its r5 shape unless stated: mod-2000/1000/500
+#: rules have a FIXED residue mod 8/16 (8 | 2000), so 13,17,41,43,47,59...
+#: stay mono EXCEPT flac_body_corrupt (47%16==15: 24-bit stereo — its CRC-16
+#: violation is shape-independent) and the new stereo plant (63). i%8==2 is
+#: even -> verbatim-coded stereo; i%8==7 is odd -> fixed-predictor stereo;
+#: LPC ids (21 mod 32 -> 5 mod 8) stay mono so the bounded LPC cost is
+#: unchanged. 24-bit: i%16==6 -> mono verbatim, i%16==15 -> stereo fixed.
+
+
+def flac_is_stereo(i: int) -> bool:
+    return i % 8 in (2, 7)
+
+
+def flac_is_24bit(i: int) -> bool:
+    return i % 16 in (6, 15)
+
+
+#: phase offset of the RIGHT channel's wave vs the left (same f1): full
+#: stereo image, no harmonic cancellation in the downmix (cos(0.5)=0.88,
+#: cos(1.0)=0.54 keep both harmonics present in (L+R)/2)
+STEREO_PHASE_OFFSET = 1.0
 
 #: codec cycle for container_body_corrupt plants (same pattern as the header
 #: cycle): alternates the two chain-validated stub codecs
@@ -192,6 +224,10 @@ def ogg_flac_bytes(
     corrupt_frames: bool = False,
     predictor: str = "verbatim",
     corrupt_warmup: bool = False,
+    channels: int = 1,
+    bps: int = 16,
+    corrupt_side_warmup: bool = False,
+    mode_seed: int = 0,
 ) -> bytes:
     """Ogg-encapsulated FLAC (the xiph 'FLAC-to-Ogg mapping', public spec):
     BOS page carries one packet [0x7F 'FLAC' major=1 minor=0 n_header(2 BE)
@@ -207,7 +243,9 @@ def ogg_flac_bytes(
     just the page CRCs)."""
     from engine import flac as flac_mod
 
-    si = flac_mod.streaminfo(streaminfo_sr or sr, len(pcm))
+    si = flac_mod.streaminfo(
+        streaminfo_sr or sr, len(pcm) // channels, channels=channels, bps=bps
+    )
     # clear the last-metadata-block flag: a VORBIS_COMMENT block follows
     hdr_packet = (
         b"\x7fFLAC\x01\x00" + struct.pack(">H", 1)
@@ -216,7 +254,9 @@ def ogg_flac_bytes(
     vc = struct.pack("<I", 0) + struct.pack("<I", 0)  # empty vendor, 0 tags
     vc_packet = bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
     frames = flac_mod.encode_frames(
-        pcm, predictor=predictor, corrupt_warmup=corrupt_warmup
+        pcm, predictor=predictor, corrupt_warmup=corrupt_warmup,
+        channels=channels, bps=bps, corrupt_side_warmup=corrupt_side_warmup,
+        mode_seed=mode_seed,
     )
     if corrupt_frames:
         ba = bytearray(frames)
@@ -347,9 +387,33 @@ def clean_pcm(i: int, sr: int, dur_ms: int, max_samples: int = 200_000) -> np.nd
     return a
 
 
-def _noisy_pcm16(i: int, sig: np.ndarray) -> np.ndarray:
-    # fresh child stream so noise doesn't perturb the clean-signal params
-    rng = np.random.default_rng(np.random.SeedSequence([SEED, int(i), 1]))
+def clean_pcm_right(
+    i: int, sr: int, dur_ms: int, max_samples: int = 200_000
+) -> np.ndarray:
+    """RIGHT channel of a stereo fixture clip: the SAME drawn (f1, phase)
+    as clean_pcm, phase-offset by STEREO_PHASE_OFFSET (float64 generator
+    path — the validation side re-synthesizes it via wave32)."""
+    rng = _rng(i)
+    n_samp = min(int(sr * dur_ms / 1000), max_samples)
+    f1 = 80.0 + 400.0 * rng.random()
+    phase = 2 * np.pi * rng.random() + STEREO_PHASE_OFFSET
+    a = np.arange(n_samp, dtype=np.float64)
+    a *= (2 * np.pi * f1) / sr
+    b = a * 2.0
+    a += phase
+    np.sin(a, out=a)
+    np.sin(b, out=b)
+    a *= 0.6
+    b *= 0.25
+    a += b
+    return a
+
+
+def _noisy_pcm16(i: int, sig: np.ndarray, stream: int = 1) -> np.ndarray:
+    # fresh child stream so noise doesn't perturb the clean-signal params;
+    # the RIGHT channel of stereo clips draws stream 5 so its noise is
+    # independent of the left's
+    rng = np.random.default_rng(np.random.SeedSequence([SEED, int(i), stream]))
     noise = rng.uniform(-1.0, 1.0, sig.shape) * 0.003  # ~ -50 dB, passes SNR>=30
     return np.clip((sig + noise) * 32000 * 0.9, -32768, 32767).astype(np.int16)
 
@@ -425,6 +489,13 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
             # predictor reconstruction + the SNR compare can catch it (r5)
             codec = "flac"
 
+        side_corrupt = _hit(np.array([i]), "flac_stereo_side_corrupt")[0]
+        if side_corrupt:
+            # stereo left-side frames with a shifted SIDE-subframe warmup:
+            # every CRC verifies, both subframes decode — only genuine
+            # stereo decorrelation (R = L - side) + SNR sees the offset (r6)
+            codec = "flac"
+
         if codec == "flac":
             from engine import flac as flac_mod
 
@@ -444,11 +515,33 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
                 predictor = "fixed"
             else:
                 predictor = "verbatim"
+            stereo = flac_is_stereo(i)
+            bps = 24 if flac_is_24bit(i) else 16
             sig = clean_pcm(i, sr, max(dur, 200))
             pcm = _noisy_pcm16(i, sig)
+            if stereo:
+                # channel-interleaved L/R: same f1, phase-offset right wave,
+                # independent noise stream — decode must reproduce BOTH
+                pcm_r = _noisy_pcm16(i, clean_pcm_right(i, sr, max(dur, 200)),
+                                     stream=5)
+                inter = np.empty(2 * len(pcm), dtype=np.int64)
+                inter[0::2] = pcm
+                inter[1::2] = pcm_r
+                pcm = inter
             if corrupt_payload:
                 # garbage SIGNAL in a pristine container: only decode+SNR sees it
-                pcm = (pcm.astype(np.int32) * 13 % 65536 - 32768).astype(np.int16)
+                pcm = (pcm.astype(np.int64) * 13 % 65536 - 32768)
+            if bps == 24:
+                pcm = pcm.astype(np.int64) << 8  # same float32 decode target
+            enc_kwargs = dict(
+                streaminfo_sr=sr * 2 if sr_mismatch else None,
+                predictor=predictor,
+                corrupt_warmup=bool(warmup_corrupt),
+                channels=2 if stereo else 1,
+                bps=bps,
+                corrupt_side_warmup=bool(side_corrupt),
+                mode_seed=i % 4,
+            )
             if i % 3 == 0:
                 # every third flac clip ships in the Ogg-FLAC container
                 # (public xiph mapping) — the Ogg slot with a REAL body
@@ -456,19 +549,10 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
                 # flac plants (i = 41 + 9000m, always i%3==2) stay native, so
                 # their oracle error string ('bad_flac_header') is unchanged.
                 b = ogg_flac_bytes(
-                    sr, pcm,
-                    streaminfo_sr=sr * 2 if sr_mismatch else None,
-                    corrupt_frames=bool(body_corrupt),
-                    predictor=predictor,
-                    corrupt_warmup=bool(warmup_corrupt),
+                    sr, pcm, corrupt_frames=bool(body_corrupt), **enc_kwargs
                 )
             else:
-                b = flac_mod.encode(
-                    pcm, sr,
-                    streaminfo_sr=sr * 2 if sr_mismatch else None,
-                    predictor=predictor,
-                    corrupt_warmup=bool(warmup_corrupt),
-                )
+                b = flac_mod.encode(pcm, sr, **enc_kwargs)
                 if body_corrupt:
                     ba = bytearray(b)
                     for k in range(60, 76):  # inside the first frame's body

@@ -46,7 +46,7 @@ def test_audio_features_match_per_clip_reference(spark, clips):
     for r in rows[:100]:
         g = got[r["clip_id"]]
         try:
-            pcm = audio_mod.decode(r["bytes"], r["codec"])
+            pcm = audio_mod.decode_mono(r["bytes"], r["codec"])
         except NotImplementedError:
             assert g["decode_error"] == "codec_decoder_missing"
             assert g["rms_db"] is None
@@ -79,7 +79,7 @@ def test_segment_clips_roundtrip(spark, clips):
 
     n_checked = 0
     for cid, rows in list(by_clip.items())[:40]:
-        pcm = audio_mod.decode(src[cid]["bytes"], src[cid]["codec"])
+        pcm = audio_mod.decode_mono(src[cid]["bytes"], src[cid]["codec"])
         i16 = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
         rows.sort(key=lambda r: r["seg_idx"])
         step = src[cid]["sr_hz"] * seg_ms // 1000
@@ -98,7 +98,7 @@ def test_segment_clips_roundtrip(spark, clips):
     # undecodable clips (wma / corrupt) contribute zero rows
     for cid, r in src.items():
         try:
-            audio_mod.decode(r["bytes"], r["codec"])
+            audio_mod.decode_mono(r["bytes"], r["codec"])
         except (NotImplementedError, ValueError):
             assert cid not in by_clip
 
@@ -176,7 +176,7 @@ def test_resample_clips_uniform_rate(spark, clips):
         if s is None:
             continue
         try:
-            pcm = audio_mod.decode(bytes(s["bytes"]), s["codec"])
+            pcm = audio_mod.decode_mono(bytes(s["bytes"]), s["codec"])
         except (NotImplementedError, ValueError):
             continue
         exp = resample_pcm(pcm, s["sr_hz"], 16000)

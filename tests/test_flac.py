@@ -467,3 +467,157 @@ def test_fixed_constant_subframe_decode():
     b = flac.streaminfo(8000, bs) + frame
     out = _i16(flac.decode(b))
     assert np.array_equal(out, np.full(bs, val, np.int16))
+
+
+# ---------------------------------------------------------------------------
+# stereo + non-16-bit subset (r6)
+# ---------------------------------------------------------------------------
+
+def _stereo_pair(n, sr=8000, seed=11):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    left = (
+        np.sin(2 * np.pi * 290 * t / sr) * 21000 + rng.uniform(-60, 60, n)
+    ).astype(np.int64)
+    right = (
+        np.sin(2 * np.pi * 290 * t / sr + 1.0) * 21000 + rng.uniform(-60, 60, n)
+    ).astype(np.int64)
+    inter = np.empty(2 * n, dtype=np.int64)
+    inter[0::2] = left
+    inter[1::2] = right
+    return inter
+
+
+def test_stereo_roundtrip_all_modes_and_predictors():
+    """All four channel-assignment modes (independent, left-side,
+    right-side, mid-side — STEREO_MODES cycles per frame, mode_seed rotates
+    the start) round-trip losslessly for every predictor family: the
+    decorrelation inverse (including the side channel's bps+1 coding and
+    mid-side's parity-restoring shift) is exact integer arithmetic."""
+    inter = _stereo_pair(9000)
+    exp = (inter / np.float32(32768.0)).astype(np.float32)
+    for predictor in ("verbatim", "fixed", "lpc"):
+        for seed in range(4):
+            b = flac.encode(inter, 8000, predictor=predictor,
+                            channels=2, mode_seed=seed)
+            out, nch = flac.decode_meta(b)
+            assert nch == 2
+            assert np.array_equal(out, exp), (predictor, seed)
+
+
+@pytest.mark.parametrize("bps", [8, 12, 20, 24])
+def test_non16bit_roundtrip_mono_and_stereo(bps):
+    inter = _stereo_pair(6000)
+    shift = bps - 16
+    scaled = (inter << shift) if shift > 0 else (inter >> -shift)
+    mono = scaled[0::2]
+    for predictor in ("verbatim", "fixed"):
+        b = flac.encode(mono, 8000, predictor=predictor, bps=bps)
+        out, nch = flac.decode_meta(b)
+        assert nch == 1
+        assert np.array_equal(
+            out, (mono / np.float32(1 << (bps - 1))).astype(np.float32)
+        ), (bps, predictor)
+        b = flac.encode(scaled, 8000, predictor=predictor, channels=2,
+                        bps=bps, mode_seed=1)
+        out, nch = flac.decode_meta(b)
+        assert nch == 2
+        assert np.array_equal(
+            out, (scaled / np.float32(1 << (bps - 1))).astype(np.float32)
+        ), (bps, predictor)
+
+
+def test_stereo_side_warmup_corruption_valid_but_wrong():
+    """corrupt_side_warmup: every CRC verifies (the stream is VALID), the
+    left channel decodes bit-exactly, but the right channel (R = L - side)
+    carries a constant offset only reconstruction + SNR can see."""
+    inter = _stereo_pair(8000)
+    b = flac.encode(inter, 8000, predictor="fixed", channels=2,
+                    corrupt_side_warmup=True)
+    out = flac.decode(b)  # all CRCs pass
+    exp = (inter / np.float32(32768.0)).astype(np.float32)
+    err = out - exp
+    assert np.abs(err[0::2]).max() == 0.0          # L bit-exact
+    assert np.abs(err[1::2] + 0.125).max() < 1e-6  # R offset by -4096/32768
+    sig = float(np.dot(exp, exp))
+    noise = float(np.dot(err, err))
+    assert 10.0 * np.log10(sig / noise) < 30.0
+
+
+def test_stereo_single_byte_corruption_never_reaches_the_stub():
+    """The r5 corruption theorem extended to STEREO frames: any single-byte
+    flip past the metadata block in an in-subset stereo stream (16- and
+    24-bit) is a violation or decodes identically — never a stub route.
+    Header flips (including the channel-assignment byte) fail CRC-8 before
+    subset routing; a flip that forged a mono/multichannel frame would also
+    hit the STREAMINFO cross-field conformance check."""
+    inter = _stereo_pair(5000)
+    for predictor, bps in (("fixed", 16), ("verbatim", 16), ("fixed", 24)):
+        pcm = inter << (bps - 16)
+        exp = (pcm / np.float32(1 << (bps - 1))).astype(np.float32)
+        ba = bytearray(flac.encode(pcm, 8000, predictor=predictor,
+                                   channels=2, bps=bps))
+        rng = np.random.default_rng(29)
+        idx = rng.choice(np.arange(42, len(ba)), size=200, replace=False)
+        for i in idx:
+            orig = ba[i]
+            ba[i] ^= int(rng.integers(1, 256))
+            try:
+                out = flac.decode(bytes(ba))
+                assert np.array_equal(out, exp), (predictor, bps, int(i))
+            except ValueError:
+                pass
+            except NotImplementedError as e:
+                raise AssertionError(
+                    f"corruption routed to stub: {predictor}/{bps} byte {i}: {e}"
+                )
+            ba[i] = orig
+
+
+def test_frame_channel_or_bps_mismatch_is_violation():
+    """A frame whose channel assignment or sample-size code disagrees with
+    STREAMINFO is cross-field corruption (ValueError), not a stub route."""
+    mono = _stereo_pair(4000)[0::2]
+    b = flac.encode(mono, 8000, predictor="fixed")
+    ba = bytearray(b)
+    # frame header starts at 42: bytes [42]=0xFF [43]=0xF8 [44]=bs|sr [45]=ch|ss
+    assert ba[42] == 0xFF and ba[45] == 0x08
+    # header = sync(2) bs/sr(1) ch|ss(1) fnum(1) bs16(2) at 42..48, CRC-8 at 49
+    ba[45] = (0b0001 << 4) | 0x08          # claim stereo under mono STREAMINFO
+    ba[49] = flac.crc8(bytes(ba[42:49]))   # keep the header CRC VALID
+    with pytest.raises(ValueError):
+        flac.decode(bytes(ba))
+    ba[45] = (0 << 4) | (0b110 << 1)       # ss code 24-bit under 16-bit stream
+    ba[49] = flac.crc8(bytes(ba[42:49]))
+    with pytest.raises(ValueError):
+        flac.decode(bytes(ba))
+
+
+def test_32bit_and_multichannel_streaminfo_route_to_stub():
+    """Valid-but-out-of-subset STREAMINFO shapes (32-bit samples, >2
+    channels) stay NotImplementedError — the documented plumbing-pass."""
+    mono = _stereo_pair(400)[0::2]
+    b = bytearray(flac.encode(mono, 8000))
+    packed = int.from_bytes(bytes(b[8 + 10 : 8 + 18]), "big")
+    # channels field bits 41-43: set to 5 (6 channels)
+    forged = (packed & ~(0x7 << 41)) | (5 << 41)
+    b[8 + 10 : 8 + 18] = forged.to_bytes(8, "big")
+    with pytest.raises(NotImplementedError):
+        flac.decode(bytes(b))
+    forged = (packed & ~(0x1F << 36)) | (31 << 36)  # 32 bps
+    b[8 + 10 : 8 + 18] = forged.to_bytes(8, "big")
+    with pytest.raises(NotImplementedError):
+        flac.decode(bytes(b))
+
+
+def test_decode_mono_downmix_matches_channels():
+    from engine import audio as audio_mod
+
+    inter = _stereo_pair(3000)
+    b = flac.encode(inter, 8000, predictor="fixed", channels=2)
+    pcm, nch = audio_mod.decode_with_channels(b, "flac")
+    assert nch == 2 and len(pcm) == 2 * 3000
+    mono = audio_mod.decode_mono(b, "flac")
+    assert len(mono) == 3000
+    exp = ((inter[0::2] + inter[1::2]) / np.float32(2 * 32768.0)).astype(np.float32)
+    np.testing.assert_allclose(mono, exp, atol=1e-7)

@@ -114,6 +114,7 @@ def test_audio_invariants_exact(result):
         | set(manifest["flac_body_corrupt"])
         | set(manifest["container_body_corrupt"])
         | set(manifest["flac_warmup_corrupt"])
+        | set(manifest["flac_stereo_side_corrupt"])
     )
     assert got == expected
 
@@ -132,6 +133,26 @@ def test_flac_warmup_corruption_caught(result):
         for r in result.violations["pcm_snr_invariant"].collect()
     }
     for cid in manifest["flac_warmup_corrupt"]:
+        assert cid in rows, cid
+        snr = float(rows[cid])  # raises if it's a decode-error string
+        assert snr < 30.0, (cid, snr)
+
+
+def test_flac_stereo_side_corruption_caught(result):
+    """The planted STEREO clips carry left-side frames whose SIDE subframe
+    warmup is shifted — every CRC verifies and both subframes decode, so a
+    mono-only or structure-only validator cannot see them. The reconstructed
+    RIGHT channel (R = L - side) is offset: the flag must come from genuine
+    stereo decorrelation + the SNR compare (offending value = failing SNR,
+    not a decode error). The left channel stays bit-exact (checked in
+    test_flac.py), so a whole-signal structural check would also miss it."""
+    manifest = synth.plant_manifest(N)
+    assert len(manifest["flac_stereo_side_corrupt"]) >= 2  # N=4000: 63, 2063
+    rows = {
+        r["clip_id"]: r["offending_value"]
+        for r in result.violations["pcm_snr_invariant"].collect()
+    }
+    for cid in manifest["flac_stereo_side_corrupt"]:
         assert cid in rows, cid
         snr = float(rows[cid])  # raises if it's a decode-error string
         assert snr < 30.0, (cid, snr)
@@ -183,6 +204,7 @@ def test_flac_roundtrip_snr(fixture_tables):
         | set(manifest["flac_body_corrupt"])
         | set(manifest["payload_corrupt"])       # garbage-signal flac plants
         | set(manifest["flac_warmup_corrupt"])   # valid stream, wrong signal
+        | set(manifest["flac_stereo_side_corrupt"])  # valid stream, wrong R
     )
     sample = [
         r for r in clips.filter("codec = 'flac'")
@@ -190,16 +212,33 @@ def test_flac_roundtrip_snr(fixture_tables):
         if r["clip_id"] not in bad
     ]
     assert len(sample) > 0
+    n_stereo = 0
     for r in sample:
         i = int(r["clip_id"].split("_")[1])
         actual = audio_mod.decode(bytes(r["bytes"]), "flac")
         sig = synth.clean_pcm(i, r["sr_hz"], max(r["dur_ms"], 200))
         expected_pcm = synth._noisy_pcm16(i, sig)
+        if synth.flac_is_stereo(i):
+            # channel-interleaved: L is the mono wave, R the phase-offset
+            # pair — both must round-trip bit-exactly (24-bit clips decode
+            # to the identical float grid: pcm24 = pcm16 << 8)
+            n_stereo += 1
+            right = synth._noisy_pcm16(
+                i, synth.clean_pcm_right(i, r["sr_hz"], max(r["dur_ms"], 200)),
+                stream=5,
+            )
+            inter = np.empty(2 * len(expected_pcm), dtype=np.int16)
+            inter[0::2] = expected_pcm
+            inter[1::2] = right
+            expected_pcm = inter
         assert np.array_equal(
             (actual * np.float32(32768.0)).astype(np.int16), expected_pcm
         ), r["clip_id"]
-        exp = audio_mod._default_expected(r["clip_id"], r["sr_hz"], r["dur_ms"])
+        exp = audio_mod._default_expected(
+            r["clip_id"], r["sr_hz"], r["dur_ms"], "flac"
+        )
         assert audio_mod.snr_db(exp, actual) >= audio_mod.SNR_DB_MIN, r["clip_id"]
+    assert n_stereo > 0  # the stereo share is genuinely exercised
 
 
 def test_container_header_validation_by_codec(result):
