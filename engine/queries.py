@@ -1146,6 +1146,7 @@ def _planted_decode_error_case() -> str:
           CASE ((i - 53) // 3000) % 2
             WHEN 0 THEN 'bad_ogg_page'
             ELSE 'bad_mp3_frame' END
+        WHEN i % 3000 = 71 THEN 'bad_mp3_frame'
         END"""
 
 
@@ -1154,7 +1155,8 @@ _AUDIO_INV_ORACLE = f"""
     v AS (
       SELECT i,
         NOT (i % 2000 = 13 OR i % 3000 = 41 OR i % 2000 = 47
-             OR i % 3000 = 53 OR i % 2000 = 59 OR i % 2000 = 63) AS pcm_ok,
+             OR i % 3000 = 53 OR i % 2000 = 59 OR i % 2000 = 63
+             OR i % 3000 = 71) AS pcm_ok,
         NOT (i % 2000 = 29 OR i % 500 = 3 OR i % 1000 = 37) AS transcript_ok,
         NOT (i % 4000 = 43) AS meta_sr_ok,
         {_planted_decode_error_case()} AS decode_error,
@@ -1743,7 +1745,8 @@ def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
         greatest(dur_ms, 200) / 1000), 200000) from the COLUMNS (the
         engine's duration-floor / sample-cap policy);
       * corrupt_produced_rows — planted container/body corruptions
-        (41 mod 3000, 47 mod 2000, 53 mod 3000) must contribute ZERO rows;
+        (41 mod 3000, 47 mod 2000, 53 mod 3000, 71 mod 3000) must
+        contribute ZERO rows;
       * identity_broken — a wav clip already at 16 kHz must round-trip
         BYTE-IDENTICALLY (md5 compared on both scans — the binary column
         itself never enters the join, engine-wide rule).
@@ -1775,7 +1778,10 @@ def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(200_000),
     )
     exp_n = F.round(n_in * 16000 / F.col("src_sr")).cast("long")
-    corrupt = (i % 3000 == 41) | (i % 2000 == 47) | (i % 3000 == 53)
+    corrupt = (
+        (i % 3000 == 41) | (i % 2000 == 47) | (i % 3000 == 53)
+        | (i % 3000 == 71)
+    )
     present = (
         (i % 2000).isin(13, 59, 63) | (i % 4000 == 43) | (i % 500 == 11)
     )
@@ -1833,6 +1839,7 @@ _CLIPS_FULL_ORACLE = f"""
         (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 13 OR i % 3000 = 41
                                         OR i % 2000 = 47 OR i % 3000 = 53
                                         OR i % 2000 = 59 OR i % 2000 = 63
+                                        OR i % 3000 = 71
                                        THEN w ELSE 0 END), 0) AS BIGINT) FROM b)
       UNION ALL SELECT 'transcript_equality',
         (SELECT CAST(coalesce(sum(CASE WHEN i % 2000 = 29 OR i % 500 = 3

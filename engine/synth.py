@@ -60,6 +60,12 @@ RULES = {
                                              # 63%16==15 -> 24-bit; 63%3==0 -> the
                                              # Ogg-FLAC container: the deepest
                                              # reconstruction plant in the mix, r6)
+    "mp3_sideinfo_corrupt": (3000, 71),      # mp3 frames whose side info claims
+                                             # main_data_begin=511 with no backing
+                                             # reservoir: every header and frame
+                                             # length stays valid — only the Layer
+                                             # III side-info/bit-reservoir walk
+                                             # sees it (r6)
 }
 
 #: stereo / 24-bit shares of the flac mix (r6). Residues chosen so every
@@ -289,33 +295,102 @@ def mp3_frame_len(b1: int, b2: int) -> int:
     return 144 * bitrate // sr + padding
 
 
-def mp3_bytes(body: bytes) -> bytes:
+#: MPEG-1 side-info length by channel count (Layer III, no CRC)
+MP3_SIDE_LEN = {1: 17, 2: 32}
+
+
+def _mp3_side_info(md_begin: int, p23s: list[int], channels: int = 2) -> bytes:
+    """Layer III side info (MPEG-1): main_data_begin + one 59-bit block per
+    granule x channel with part2_3_length set; the remaining fields carry
+    fixed in-range values (big_values=100, long-block window). Built as one
+    big int, bit layout per the public ISO 11172-3 table."""
+    nblk = 2 * channels
+    total = MP3_SIDE_LEN[channels] * 8
+    si = 0
+    pos = 0
+
+    def put(v: int, nb: int) -> None:
+        nonlocal si, pos
+        si |= (v & ((1 << nb) - 1)) << (total - pos - nb)
+        pos += nb
+
+    put(md_begin, 9)
+    put(0, 5 if channels == 1 else 3)      # private bits
+    put(0, 4 * channels)                   # scfsi
+    for p23 in p23s[:nblk]:
+        put(p23, 12)
+        put(100, 9)                        # big_values <= 288
+        put(120, 8)                        # global_gain
+        put(0, 4)                          # scalefac_compress
+        put(0, 1)                          # window_switching = 0 (long block)
+        put(0, 15)                         # table_select x3
+        put(0, 4)                          # region0_count
+        put(0, 3)                          # region1_count
+        put(0, 3)                          # preflag, scalefac_scale, count1table
+    assert pos == total
+    return si.to_bytes(total // 8, "big")
+
+
+def mp3_bytes(body: bytes, corrupt_sideinfo: bool = False) -> bytes:
     """Structurally COMPLETE MP3: a chain of MPEG-1 Layer III frames (sync +
     valid bitrate/samplerate indices, correct frame lengths, zero-padded
-    tail) covering the whole body. The decode seam walks every frame header."""
+    tail) covering the whole body — and, since r6, each frame carries a
+    CONSISTENT side-info section: part2_3_length values that fit the frame's
+    main data plus the accumulated bit reservoir, with main_data_begin
+    chained across frames (the leftover cycles 4/104/204 bytes so the
+    reservoir is genuinely exercised). The decode seam walks every header
+    AND re-runs this reservoir arithmetic.
+
+    ``corrupt_sideinfo`` plants main_data_begin=511 at ~3/4 of the chain —
+    every header stays valid and every frame length correct, so the header
+    walk alone provably cannot see it; only the side-info/reservoir
+    validation can (the r6 mp3 analog of the flac warmup plants)."""
     # 0xFF 0xFB: sync, MPEG-1, Layer III, no CRC; 0x90: 128kbps, 44100, no pad
     hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
     flen = mp3_frame_len(0xFB, 0x90)                  # 417 incl. header
-    data_per_frame = flen - 4
+    side_len = MP3_SIDE_LEN[2]
+    main_per_frame = flen - 4 - side_len
+    nframes = max(1, -(-max(len(body), 1) // main_per_frame))
+    bad_at = (3 * nframes) // 4 if corrupt_sideinfo else -1
     out = []
-    for i in range(0, max(len(body), 1), data_per_frame):
-        ch = body[i : i + data_per_frame]
-        out.append(hdr + ch + b"\x00" * (data_per_frame - len(ch)))
+    reservoir = 0
+    for fi in range(nframes):
+        ch = body[fi * main_per_frame : (fi + 1) * main_per_frame]
+        ch = ch + b"\x00" * (main_per_frame - len(ch))
+        md_begin = min(reservoir, 255)
+        avail_bits = 8 * (md_begin + main_per_frame)
+        # leftover cycles so later frames genuinely draw on the reservoir
+        spend = avail_bits - 32 - 800 * (fi % 3)
+        p23s = [spend // 4] * 3 + [spend - 3 * (spend // 4)]
+        if fi == bad_at:
+            # reservoir claim no prior frame backs: headers/lengths all
+            # stay valid, only the side-info walk sees it
+            out.append(hdr + _mp3_side_info(511, p23s) + ch)
+        else:
+            out.append(hdr + _mp3_side_info(md_begin, p23s) + ch)
+        consumed = (sum(p23s) + 7) // 8
+        # FIFO model: the new reservoir is whatever of [md_begin bytes of
+        # old reservoir + this frame's main section] the frame left behind
+        reservoir = min(511, main_per_frame + md_begin - consumed)
     return b"".join(out)
 
 
-def container_bytes(codec: str, i: int, sr: int, n_samples: int) -> bytes:
+def container_bytes(
+    codec: str, i: int, sr: int, n_samples: int,
+    corrupt_sideinfo: bool = False,
+) -> bytes:
     """Payload for a non-PCM codec. flac: REAL verbatim-subset frames
     (engine/flac.py) carrying the clip's noisy PCM — fully decodable and
-    CRC-verified by the validation engine. opus/mp3: valid container header +
-    deterministic opaque body (no decoder libs in this image; header-only
-    validation at the decode seam)."""
+    CRC-verified by the validation engine. opus/mp3: valid container
+    structure + deterministic opaque packet bodies (no decoder libs in this
+    image; full chain + side-info/reservoir validation at the decode seam,
+    packet decode stubbed)."""
     assert codec != "flac", "flac payloads are built in _gen_rows (need the pcm)"
     rng = np.random.default_rng(np.random.SeedSequence([SEED, int(i), 4]))
     body = rng.bytes(max(n_samples, 64))
     if codec == "opus":
         return ogg_opus_bytes(sr, body)
-    return mp3_bytes(body)
+    return mp3_bytes(body, corrupt_sideinfo=corrupt_sideinfo)
 
 
 def clip_params_batch(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -489,6 +564,12 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
             # predictor reconstruction + the SNR compare can catch it (r5)
             codec = "flac"
 
+        sideinfo_corrupt = _hit(np.array([i]), "mp3_sideinfo_corrupt")[0]
+        if sideinfo_corrupt:
+            # valid header chain, poisoned SIDE INFO (reservoir claim with
+            # no backing): only the Layer III side-info walk sees it (r6)
+            codec = "mp3"
+
         side_corrupt = _hit(np.array([i]), "flac_stereo_side_corrupt")[0]
         if side_corrupt:
             # stereo left-side frames with a shifted SIDE-subframe warmup:
@@ -562,7 +643,8 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
                 b = b"XXXX" + b[4:]  # break magic ('fLaC' or 'OggS')
         elif codec in ("opus", "mp3"):
             n_samp = min(int(sr * max(dur, 200) / 1000), 200_000)
-            b = container_bytes(codec, i, sr * 2 if sr_mismatch else sr, n_samp)
+            b = container_bytes(codec, i, sr * 2 if sr_mismatch else sr, n_samp,
+                                corrupt_sideinfo=bool(sideinfo_corrupt))
             if chain_corrupt:
                 ba = bytearray(b)
                 if codec == "mp3":

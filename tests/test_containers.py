@@ -284,3 +284,95 @@ def test_ogg_granule_regression_is_violation_even_with_valid_crcs():
         audio.validate_ogg_stream(bytes(b))
     # sanity: the unmodified stream still validates
     audio.validate_ogg_stream(ogg_opus_bytes(8000, b"\x01" * 9000))
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer III side-info / bit-reservoir validation (r6)
+# ---------------------------------------------------------------------------
+
+def _mp3_fixture(n=4000, seed=5):
+    import numpy as np
+
+    return synth.mp3_bytes(np.random.default_rng(seed).bytes(n))
+
+
+def _patch_sideinfo(b: bytes, frame: int, transform) -> bytes:
+    """Rewrite one frame's 32-byte side-info int via ``transform(si)``."""
+    flen = synth.mp3_frame_len(0xFB, 0x90)
+    ba = bytearray(b)
+    p = frame * flen + 4
+    si = int.from_bytes(bytes(ba[p : p + 32]), "big")
+    ba[p : p + 32] = transform(si).to_bytes(32, "big")
+    return bytes(ba)
+
+
+def test_mp3_sideinfo_reservoir_overclaim_caught():
+    """main_data_begin pointing past the accumulated reservoir is invisible
+    to the header walk (every sync/length valid) but fails the r6
+    side-info validation — on the FIRST frame the reservoir is zero, so any
+    nonzero claim is corruption."""
+    b = _mp3_fixture()
+    audio.validate_mp3_stream(b)  # clean chain passes
+    bad = _patch_sideinfo(b, 0, lambda si: si | (1 << (256 - 9)))  # md_begin=256
+    with pytest.raises(ValueError, match="bad_mp3_frame"):
+        audio.validate_mp3_stream(bad)
+
+
+def test_mp3_sideinfo_p23_overflow_caught():
+    """part2_3_length sum past the reachable main data (reservoir + own
+    main section) is undecodable by construction."""
+    b = _mp3_fixture()
+    # set granule 0 / channel 0 part2_3_length to 4095 (max 12-bit): total
+    # p23 then exceeds 8*(md+main) on frame 0
+    off = 256 - (9 + 3 + 8) - 12
+
+    def hot(si):
+        return si | (0xFFF << off)
+
+    with pytest.raises(ValueError, match="bad_mp3_frame"):
+        audio.validate_mp3_stream(_patch_sideinfo(b, 0, hot))
+
+
+def test_mp3_sideinfo_big_values_ceiling_caught():
+    """big_values > 288 would address spectral lines past 576."""
+    b = _mp3_fixture()
+    off = 256 - (9 + 3 + 8) - 12 - 9  # big_values of gr0/ch0
+
+    def hot(si):
+        return (si & ~(0x1FF << off)) | (300 << off)
+
+    with pytest.raises(ValueError, match="bad_mp3_frame"):
+        audio.validate_mp3_stream(_patch_sideinfo(b, 0, hot))
+
+
+def test_mp3_sideinfo_forbidden_block_type_caught():
+    """window_switching_flag=1 with block_type=0 is a forbidden shape."""
+    b = _mp3_fixture()
+    base = 256 - (9 + 3 + 8)
+    wsf_off = base - 34  # bit 33 within the 59-bit block, MSB-first
+
+    def hot(si):
+        return si | (1 << (wsf_off - 0))
+
+    with pytest.raises(ValueError, match="bad_mp3_frame"):
+        audio.validate_mp3_stream(_patch_sideinfo(b, 0, hot))
+
+
+def test_mp3_reservoir_plant_invisible_to_header_walk():
+    """The planted stream differs from the clean one in exactly the
+    side-info bytes of one frame: every header byte and frame length is
+    untouched, so catching it REQUIRES the side-info walk."""
+    import numpy as np
+
+    body = np.random.default_rng(7).bytes(20000)
+    clean = synth.mp3_bytes(body)
+    bad = synth.mp3_bytes(body, corrupt_sideinfo=True)
+    assert len(clean) == len(bad)
+    flen = synth.mp3_frame_len(0xFB, 0x90)
+    diffs = [k for k, (x, y) in enumerate(zip(clean, bad)) if x != y]
+    assert diffs, "plant must change bytes"
+    for k in diffs:
+        assert 4 <= (k % flen) < 36, k  # all inside one side-info section
+    audio.validate_mp3_stream(clean)
+    with pytest.raises(ValueError, match="bad_mp3_frame"):
+        audio.validate_mp3_stream(bad)

@@ -115,6 +115,7 @@ def test_audio_invariants_exact(result):
         | set(manifest["container_body_corrupt"])
         | set(manifest["flac_warmup_corrupt"])
         | set(manifest["flac_stereo_side_corrupt"])
+        | set(manifest["mp3_sideinfo_corrupt"])
     )
     assert got == expected
 
@@ -156,6 +157,22 @@ def test_flac_stereo_side_corruption_caught(result):
         assert cid in rows, cid
         snr = float(rows[cid])  # raises if it's a decode-error string
         assert snr < 30.0, (cid, snr)
+
+
+def test_mp3_sideinfo_corruption_caught(result):
+    """The planted mp3 clips carry a side-info section claiming
+    main_data_begin=511 with no backing reservoir — every frame header and
+    frame length stays valid (2 bytes differ from the clean stream), so the
+    r3-r5 header-chain walk provably cannot see it; the Layer III
+    side-info/bit-reservoir validation must."""
+    manifest = synth.plant_manifest(N)
+    assert len(manifest["mp3_sideinfo_corrupt"]) >= 1
+    errs = {
+        r["clip_id"]: r["offending_value"]
+        for r in result.violations["pcm_snr_invariant"].collect()
+    }
+    for cid in manifest["mp3_sideinfo_corrupt"]:
+        assert errs.get(cid) == "bad_mp3_frame", (cid, errs.get(cid))
 
 
 def test_container_chain_corruption_caught(result):
@@ -274,6 +291,7 @@ def test_valid_containers_pass_header_checks(fixture_tables):
         set(manifest["container_header_corrupt"])
         | set(manifest["flac_body_corrupt"])
         | set(manifest["container_body_corrupt"])
+        | set(manifest["mp3_sideinfo_corrupt"])
     )
     import pytest as _pytest
 
