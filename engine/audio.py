@@ -9,17 +9,20 @@ dimension. Zero per-row Python on the Spark side: ``mapInPandas`` receives
 whole Arrow batches; the per-clip numpy work is vectorized C inside the batch.
 
 Container decode is pure numpy (this sandbox ships no audio libs): a
-canonical-WAV parser plus a complete mono/16-bit FLAC decoder with CRC
-verification (engine/flac.py — constant/verbatim/fixed/LPC subframes,
-Rice residuals, wasted bits, both blocking strategies, r5) — in BOTH
+canonical-WAV parser plus a complete mono+stereo 8-24-bit FLAC decoder with
+CRC verification (engine/flac.py — constant/verbatim/fixed/LPC subframes,
+Rice residuals, wasted bits, both blocking strategies, r5; all four stereo
+channel assignments with exact integer decorrelation, r6) — in BOTH
 containers: native 'fLaC' and Ogg-FLAC (xiph FLAC-to-Ogg mapping; full
-page walk + packet reassembly + frame decode, r4). opus/mp3 plug into the same ``decode`` seam — the full
-container STRUCTURE is validated (every Ogg page CRC-32, every MP3
-frame-header hop) before the packet-decode stub raises NotImplementedError;
-the Spark-side plumbing (schema, batching, join) is identical and is what we
-test. Net: 3 of 4 container families (wav, flac-native, ogg-flac) carry a
-genuine PCM decode + SNR invariant; only the opus/mp3 packet bodies remain
-stubbed (no SILK/CELT/MDCT without codec libs).
+page walk + packet reassembly + frame decode, r4). opus/mp3 plug into the
+same ``decode`` seam — the full container STRUCTURE is validated (every Ogg
+page CRC-32 + granule monotonicity; every MP3 frame-header hop plus, r6,
+per-frame Layer III side-info/bit-reservoir consistency) before the
+packet-decode stub raises NotImplementedError; the Spark-side plumbing
+(schema, batching, join) is identical and is what we test. Net: 3 of 4
+container families (wav, flac-native, ogg-flac) carry a genuine PCM decode
++ SNR invariant; only the opus/mp3 packet bodies remain stubbed (no
+SILK/CELT/MDCT without codec libs).
 """
 
 from __future__ import annotations

@@ -7,24 +7,31 @@ Spark analog of the reference's reconstruct-and-compare loop
 mix instead of a header-only stub.
 
 Subset implemented (a superset of what the fixture generator emits):
-  * mono, 16 bits/sample, BOTH blocking strategies, every blocksize /
-    sample-rate code (tables and explicit fields);
+  * MONO and STEREO (r6: all four channel assignments — independent L/R,
+    left-side, right-side, mid-side — exact integer decorrelation, the
+    side channel coded at bps+1 bits, mid-side's lost LSB restored from
+    the side's parity), 8/12/16/20/24 bits/sample, BOTH blocking
+    strategies, every blocksize / sample-rate code (tables and explicit
+    fields); frame channel/bps codes are cross-checked against STREAMINFO
+    so a forged header is a violation, never a stub route;
   * subframes: VERBATIM, CONSTANT, FIXED predictors of orders 0-4, and
     LPC of any order 1-32 (quantized Levinson-Durbin coefficients, exact
     integer inverse filter) with Rice-coded residuals (both coding methods,
     any partition order, escape partitions), with or without WASTED-BITS
-    shifting — the full set of shapes real-world FLAC encoders emit
-    (r5/r5b; VERDICT r4 #1) — exact integer reconstruction, so the decode
-    stays lossless; CRC-16 (poly 0x8005) frame footer.
-Only stereo/multi-channel and non-16-bit sample sizes remain outside the
-subset and raise NotImplementedError (plumbing-verified pass, same
-contract as the opus/mp3 header stubs) — and every frame header is CRC-8
-VERIFIED BEFORE that routing, so a corrupted header can never reach the
-stub: for an in-subset stream, ANY single-byte corruption past the
-metadata block is a ValueError violation (or decodes identically) — a
-tested theorem (test_single_byte_corruption_never_reaches_the_stub).
-CORRUPTION — including reserved subframe/coding-method codes, which no
-valid stream contains — raises ValueError and becomes a violation.
+    shifting, decoded at ARBITRARY bit offsets (stereo second subframes
+    are not byte-aligned) — the full set of shapes real-world FLAC
+    encoders emit (r5/r5b/r6) — exact integer reconstruction, so the
+    decode stays lossless; CRC-16 (poly 0x8005) frame footer.
+Only >2-channel and 32-bit streams remain outside the subset and raise
+NotImplementedError (plumbing-verified pass, same contract as the opus/mp3
+packet stubs) — and every frame header is CRC-8 VERIFIED BEFORE that
+routing, so a corrupted header can never reach the stub: for an in-subset
+stream, ANY single-byte corruption past the metadata block is a ValueError
+violation (or decodes identically) — a tested theorem
+(test_single_byte_corruption_never_reaches_the_stub, extended to
+stereo/24-bit frames in r6). CORRUPTION — including reserved
+subframe/coding-method codes, which no valid stream contains — raises
+ValueError and becomes a violation.
 
 Scale note on the Rice decoder: a per-sample Python loop (unary scan + k
 bits) would cost ~1 us/sample — minutes per bench run. Instead the whole

@@ -32,6 +32,11 @@ def validate(
     check_audio: bool = False,
     stat_columns: list[str] | None = None,
 ) -> checks_mod.SuiteResult:
+    if check_audio and transcripts is None:
+        # silently skipping the requested audio pass would report clean
+        # verdicts the caller never computed — same guard as the streaming
+        # entry point (streaming.py; ADVICE r5: fixed in only one of two)
+        raise ValueError("check_audio=True requires a transcripts DataFrame")
     suite = suite or audio_clip_suite()
     refs = {"transcripts": transcripts} if transcripts is not None else {}
     stat_columns = stat_columns or [c for c in clips.columns if c != "bytes"]

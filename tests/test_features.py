@@ -185,3 +185,22 @@ def test_resample_clips_uniform_rate(spark, clips):
         assert np.array_equal(got, ref), r["clip_id"]
         checked += 1
     assert checked > 20
+
+
+def test_segment_and_resample_flush_bounded(spark, clips):
+    """The fan-out ops flush a RecordBatch whenever the accumulated payload
+    passes emit_bytes (here shrunk to 64 KB — dozens of flushes per task on
+    this fixture), and the flushed output is identical to the default-bound
+    one: the per-task OUTPUT working set is bounded regardless of clip
+    length or Arrow batch size (emit_bytes is a real parameter, captured in
+    the pickled closure, so the bound genuinely applies on the workers)."""
+    from engine.features import resample_clips
+
+    base_seg = segment_clips(clips, seg_ms=500).orderBy("clip_id", "seg_idx").collect()
+    base_res = resample_clips(clips, 16000).orderBy("clip_id").collect()
+    small_seg = segment_clips(clips, seg_ms=500, emit_bytes=64 * 1024) \
+        .orderBy("clip_id", "seg_idx").collect()
+    small_res = resample_clips(clips, 16000, emit_bytes=64 * 1024) \
+        .orderBy("clip_id").collect()
+    assert small_seg == base_seg
+    assert small_res == base_res

@@ -458,3 +458,13 @@ def test_lpc_fixture_clips_decode_losslessly():
             (out * np.float32(32768.0)).astype(np.int16), pcm), i
         checked["ogg" if i % 3 == 0 else "native"] += 1
     assert checked["native"] >= 1 and checked["ogg"] >= 1
+
+
+def test_check_audio_without_transcripts_raises(fixture_tables):
+    """BOTH entry points refuse check_audio=True with no transcripts dim:
+    silently skipping the requested audio pass would report clean verdicts
+    the caller never computed (ADVICE r4/r5 — batch parity with the
+    streaming guard)."""
+    clips, _ = fixture_tables
+    with pytest.raises(ValueError, match="transcripts"):
+        validate(clips, None, check_audio=True)
