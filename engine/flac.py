@@ -22,12 +22,14 @@ Subset implemented (a superset of what the fixture generator emits):
     are not byte-aligned) — the full set of shapes real-world FLAC
     encoders emit (r5/r5b/r6) — exact integer reconstruction, so the
     decode stays lossless; CRC-16 (poly 0x8005) frame footer.
-Only >2-channel and 32-bit streams remain outside the subset and raise
-NotImplementedError (plumbing-verified pass, same contract as the opus/mp3
-packet stubs) — and every frame header is CRC-8 VERIFIED BEFORE that
-routing, so a corrupted header can never reach the stub: for an in-subset
-stream, ANY single-byte corruption past the metadata block is a ValueError
-violation (or decodes identically) — a tested theorem
+Since r6b there is NO out-of-subset FLAC shape left: 1-8 channels
+(independent subframes beyond stereo, per RFC 9639 §4.1 — only the four
+stereo modes decorrelate) and every bps 4-32 (odd widths via sample-size
+code 0, 32-bit side channels at 33 coded bits) all decode, so the
+NotImplementedError stub is GONE for bare FLAC — every malformation is a
+ValueError violation. Every frame header is CRC-8 VERIFIED before any
+field is trusted: ANY single-byte corruption past the metadata block is a
+ValueError violation (or decodes identically) — a tested theorem
 (test_single_byte_corruption_never_reaches_the_stub, extended to
 stereo/24-bit frames in r6). CORRUPTION — including reserved
 subframe/coding-method codes, which no valid stream contains — raises
@@ -478,11 +480,15 @@ def _decode_subframe(
                 raise ValueError("bad_flac_frame")
         w = z + 1
         bit += z + 1
-    ebps = bps - w  # effective coded width (<= 25: side channel of 24-bit)
+    ebps = bps - w  # effective coded width (<= 33: side channel of 32-bit)
     if stype == 0x00:  # CONSTANT: one ebps-bit value for the whole block
-        v = _peek_bits(mv, n, bit, ebps)
-        if v >= 1 << (ebps - 1):
-            v -= 1 << ebps
+        if ebps <= 25:  # _peek_bits window limit (32 - 7-bit offset)
+            v = _peek_bits(mv, n, bit, ebps)
+            if v >= 1 << (ebps - 1):
+                v -= 1 << ebps
+        else:  # 26-33 bits: unpack-and-fold path (already sign-extends)
+            bits_l, off = _local_bits(stream, n, bit, ebps)
+            v = int(raw_decode_block(bits_l, off, 1, ebps)[0][0])
         return np.full(bs, v << w, dtype=np.int64), bit + ebps
     if stype == 0x01:  # VERBATIM: bs raw ebps-bit samples
         if ebps == 16 and w == 0 and (bit & 7) == 0:
@@ -819,7 +825,9 @@ def _subframe_bits(
 #: decorrelated modes; single-frame clips vary by mode_seed (the clip id)
 STEREO_MODES = (0b0001, 0b1000, 0b1001, 0b1010)  # L/R, left-side, right-side, mid-side
 
-_SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+#: sample-size code by bps; odd widths (e.g. 13-bit) have no dedicated code
+#: and fall back to 0 = "from STREAMINFO" (RFC 9639 §9.1.4)
+_SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
 
 
 def encode_frames(
@@ -845,7 +853,7 @@ def encode_frames(
     stereo decorrelation + the SNR compare can catch it."""
     out = []
     n_per = len(pcm) // channels
-    ss_code = _SS_CODE[bps]
+    ss_code = _SS_CODE.get(bps, 0)  # odd widths: 0 = "from STREAMINFO"
     shift = 4096 << max(0, bps - 16)
     for fi, start in enumerate(range(0, n_per, blocksize)):
         if channels == 2:
@@ -854,6 +862,14 @@ def encode_frames(
             ch_code = 0b1000 if corrupt_side_warmup else \
                 STEREO_MODES[(fi + mode_seed) % 4]
             nblk = len(left)
+        elif channels > 2:
+            blkN = np.asarray(
+                pcm[channels * start : channels * (start + blocksize)],
+                dtype=np.int64,
+            )
+            chans = [blkN[c::channels] for c in range(channels)]
+            ch_code = channels - 1  # 3-8 independent channels
+            nblk = len(chans[0])
         else:
             blk = pcm[start : start + blocksize]
             ch_code = 0
@@ -869,7 +885,9 @@ def encode_frames(
                 and not corrupt_warmup:
             frame = hdr + b"\x02" + blk.astype(">i2").tobytes()  # fast path
         else:
-            if channels == 2:
+            if channels > 2:
+                parts = [_subframe_bits(c, bps, predictor) for c in chans]
+            elif channels == 2:
                 if ch_code == 0b0001:
                     parts = [_subframe_bits(left, bps, predictor),
                              _subframe_bits(right, bps, predictor)]
@@ -935,9 +953,9 @@ def decode(b) -> np.ndarray:
 
     Raises ValueError (-> violation) on any malformation: bad magic /
     STREAMINFO ('bad_flac_header'), bad sync, failed CRC-8/CRC-16, or a
-    sample-count mismatch vs STREAMINFO ('bad_flac_frame'). Raises
-    NotImplementedError (-> plumbing pass) on valid-but-out-of-subset
-    streams (>2 channels, 32-bit samples)."""
+    sample-count mismatch vs STREAMINFO ('bad_flac_frame'). Since r6b the
+    decoder covers every legal shape (1-8 channels, bps 4-32, all subframe
+    types) — no NotImplementedError route remains in bare FLAC."""
     return decode_meta(b)[0]
 
 
@@ -988,10 +1006,12 @@ def parse(b) -> tuple[np.ndarray, list, list[int], int]:
             total_samples = packed & ((1 << 36) - 1)
             if not (1 <= sr <= 655350):
                 raise ValueError("bad_flac_header")
-            if channels > 2 or bps not in (8, 12, 16, 20, 24):
-                # 3-8 channels and 32-bit samples: legal FLAC outside the
-                # subset (r6 widened the subset to stereo + 8-24 bit)
-                raise NotImplementedError("codec_decoder_missing:flac_subset")
+            if bps < 4:
+                # STREAMINFO bps is 4-32 (RFC 9639 §8.2); 1-3 is invalid,
+                # i.e. corruption — never a stub route. Channels 1-8 and
+                # every bps 4-32 (odd widths via ss_code 0) all decode:
+                # since r6b there is NO out-of-subset FLAC shape left.
+                raise ValueError("bad_flac_header")
             first = False
         pos += 4 + length
         if pos > n:
@@ -1043,13 +1063,11 @@ def parse(b) -> tuple[np.ndarray, list, list[int], int]:
         ss_code = (chan_bps >> 1) & 0x07
         if chan_bps & 0x01 or ss_code == 0b011 or channels_code >= 11:
             raise ValueError("bad_flac_frame")  # reserved bits / codes
-        if channels_code < 2:
-            nch = channels_code + 1
-        elif channels_code in (8, 9, 10):
-            nch = 2  # left-side / right-side / mid-side stereo decorrelation
+        if channels_code < 8:
+            nch = channels_code + 1  # 1-8 independent channels
         else:
-            # 3-8 independent channels: legal FLAC outside the subset
-            raise NotImplementedError("codec_decoder_missing:flac_subset")
+            nch = 2  # 8/9/10: left-/right-/mid-side stereo decorrelation
+                     # (>= 11 is reserved, rejected above)
         if nch != channels:
             # frames must conform to STREAMINFO (RFC 9639 §9.1.3): a channel
             # count flip is a cross-field corruption, never a stub route
@@ -1065,7 +1083,7 @@ def parse(b) -> tuple[np.ndarray, list, list[int], int]:
         if stream is None:
             stream = np.frombuffer(mv, dtype=np.uint8)  # zero-copy view
         bit = pos2 * 8
-        if channels_code < 2:
+        if channels_code < 8:
             subs = []
             for _c in range(nch):
                 s_c, bit = _decode_subframe(mv, stream, n, bit, bs, fbps)
@@ -1093,9 +1111,9 @@ def parse(b) -> tuple[np.ndarray, list, list[int], int]:
         if nch == 1:
             samples = subs[0]
         else:
-            samples = np.empty(2 * bs, dtype=np.int64)
-            samples[0::2] = subs[0]
-            samples[1::2] = subs[1]
+            samples = np.empty(nch * bs, dtype=np.int64)
+            for c in range(nch):
+                samples[c::nch] = subs[c]
         stored = struct.unpack(">H", mv[end : end + 2])[0]
         frames.append((mv[fstart:end], stored))
         chunks.append(samples)

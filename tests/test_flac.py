@@ -593,21 +593,117 @@ def test_frame_channel_or_bps_mismatch_is_violation():
         flac.decode(bytes(ba))
 
 
-def test_32bit_and_multichannel_streaminfo_route_to_stub():
-    """Valid-but-out-of-subset STREAMINFO shapes (32-bit samples, >2
-    channels) stay NotImplementedError — the documented plumbing-pass."""
+def test_forged_streaminfo_shape_is_cross_field_violation():
+    """r6b (stub retired): a STREAMINFO forged to claim 6 channels or
+    32-bit over mono/16-bit FRAMES is now a ValueError cross-field
+    violation (frames must conform to STREAMINFO, RFC 9639 §9.1.3) —
+    the shapes themselves are decodable, so nothing routes to a stub."""
     mono = _stereo_pair(400)[0::2]
     b = bytearray(flac.encode(mono, 8000))
     packed = int.from_bytes(bytes(b[8 + 10 : 8 + 18]), "big")
     # channels field bits 41-43: set to 5 (6 channels)
     forged = (packed & ~(0x7 << 41)) | (5 << 41)
     b[8 + 10 : 8 + 18] = forged.to_bytes(8, "big")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         flac.decode(bytes(b))
     forged = (packed & ~(0x1F << 36)) | (31 << 36)  # 32 bps
     b[8 + 10 : 8 + 18] = forged.to_bytes(8, "big")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         flac.decode(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# full-spec shapes: 3-8 channels, 32-bit, odd widths (r6b — no subset left)
+# ---------------------------------------------------------------------------
+
+def _multi(n, nch, bps=16, seed=13, sr=8000):
+    """Channel-interleaved nch-channel signal, per-channel distinct phase,
+    amplitude scaled to ~2/3 of the bps range."""
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bps - 1)
+    amp, noise = lim * 0.66, max(1.0, lim * 0.003)
+    t = np.arange(n)
+    inter = np.empty(n * nch, dtype=np.int64)
+    for c in range(nch):
+        inter[c::nch] = np.clip(
+            (np.sin(2 * np.pi * (230 + 37 * c) * t / sr + 0.3 * c) * amp
+             + rng.uniform(-noise, noise, n)).astype(np.int64),
+            -lim, lim - 1,
+        )
+    return inter
+
+
+@pytest.mark.parametrize("nch,bps,predictor", [
+    (4, 16, "verbatim"), (8, 24, "fixed"), (3, 13, "verbatim"),
+    (6, 20, "lpc"), (1, 32, "verbatim"), (2, 32, "fixed"),
+    (2, 32, "verbatim"), (5, 8, "fixed"), (1, 4, "verbatim"),
+])
+def test_fullspec_roundtrip(nch, bps, predictor):
+    """1-8 channels x bps 4-32 (incl. odd widths coded via sample-size
+    code 0 and 33-bit stereo side channels) round-trip losslessly."""
+    inter = _multi(3000, nch, bps=bps)
+    b = flac.encode(inter, 8000, predictor=predictor, channels=nch, bps=bps)
+    out, got_nch = flac.decode_meta(b)
+    assert got_nch == nch
+    exp = (inter / np.float32(1 << (bps - 1))).astype(np.float32)
+    assert np.array_equal(out, exp), (nch, bps, predictor)
+
+
+def test_constant_33bit_side_subframe_decodes():
+    """Hand-assembled mid-side 32-bit frame whose subframes are CONSTANT:
+    the side value needs all 33 coded bits — exercises the wide-constant
+    path (_peek_bits only covers <= 25 bits)."""
+    import struct as _s
+
+    bs = 1024
+    left, right = (1 << 31) - 5, -(1 << 31) + 9
+    mid, side = (left + right) >> 1, left - right  # side = 2^32 - 14
+    assert side > (1 << 31) - 1  # outside signed-32: needs all 33 coded bits
+    hdr = bytes([0xFF, 0xF8, 0x70, (0b1010 << 4) | (7 << 1)])
+    hdr += flac.utf8_encode(0) + _s.pack(">H", bs - 1)
+    hdr += bytes([flac.crc8(hdr)])
+    bits = np.concatenate([
+        flac._byte_bits(0x00), flac.int_bits([mid], 32),
+        flac._byte_bits(0x00), flac.int_bits([side], 33),
+    ])
+    pad = (-len(bits)) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
+    frame = hdr + np.packbits(bits).tobytes()
+    frame += _s.pack(">H", flac.crc16(frame))
+    b = flac.streaminfo(8000, bs, channels=2, bps=32) + frame
+    out, nch = flac.decode_meta(b)
+    assert nch == 2
+    scale = np.float32(1.0 / (1 << 31))
+    assert np.array_equal(out[0::2], np.full(bs, left * scale, np.float32))
+    assert np.array_equal(out[1::2], np.full(bs, right * scale, np.float32))
+
+
+def test_fullspec_single_byte_corruption_is_violation():
+    """The corruption theorem extended to the full spec surface: any
+    single-byte flip past the metadata block of an 8-channel/24-bit or
+    stereo/32-bit stream is a ValueError (or decodes identically) — with
+    no stub left in bare FLAC, NotImplementedError is impossible."""
+    for nch, bps, predictor in ((8, 24, "fixed"), (2, 32, "fixed")):
+        inter = _multi(1200, nch, bps=bps)
+        exp = (inter / np.float32(1 << (bps - 1))).astype(np.float32)
+        ba = bytearray(flac.encode(inter, 8000, predictor=predictor,
+                                   channels=nch, bps=bps))
+        rng = np.random.default_rng(31)
+        idx = rng.choice(np.arange(42, len(ba)), size=150, replace=False)
+        for i in idx:
+            orig = ba[i]
+            ba[i] ^= int(rng.integers(1, 256))
+            try:
+                out = flac.decode(bytes(ba))
+                assert np.array_equal(out, exp), (nch, bps, int(i))
+            except ValueError:
+                pass
+            except NotImplementedError as e:
+                raise AssertionError(
+                    f"stub route resurfaced: {nch}ch/{bps} byte {i}: {e}"
+                )
+            ba[i] = orig
 
 
 def test_decode_mono_downmix_matches_channels():
