@@ -33,7 +33,7 @@ N_CLIPS = int(os.environ.get("TSAD_BENCH_CLIPS", "250000"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 # bump when engine/synth.py changes fixture BYTES: cache files are keyed by
 # (tag, n) so a stale fixture can never be silently reused across rounds
-FIXTURE_TAG = "r6"
+FIXTURE_TAG = "r6c"
 
 BENCH_QUERIES = [
     "suite_verdicts_lineitem",

@@ -182,6 +182,181 @@ def walk_ogg_pages(
     return pages, storeds, payloads
 
 
+def _ogg_packet_spans(mv) -> list[list[tuple[int, int]]]:
+    """Packet boundaries from the Ogg lacing values: one entry per packet,
+    each a list of (start, end) byte ranges into ``mv`` (multiple ranges
+    only when a packet spans pages). Assumes ``walk_ogg_pages`` already
+    validated the page structure; adds the lacing-level checks that walk
+    skips: the continued-packet flag (0x01) must agree with whether a
+    packet is actually open across the page boundary, and the stream must
+    not end mid-packet. Zero payload copies — ranges only."""
+    n = len(mv)
+    pos = 0
+    packets: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    while pos < n:
+        n_segs = mv[pos + 26]
+        data = pos + 27 + n_segs
+        cont = mv[pos + 5] & 0x01
+        if bool(cont) != bool(cur):
+            raise ValueError("bad_opus_packet")
+        off = 0
+        for v in mv[pos + 27 : pos + 27 + n_segs]:
+            v = int(v)
+            cur.append((data + off, data + off + v))
+            off += v
+            if v < 255:
+                packets.append(cur)
+                cur = []
+        pos = data + off
+    if cur:
+        raise ValueError("bad_opus_packet")  # stream ends mid-packet
+    return packets
+
+
+#: 48 kHz samples per frame for each TOC config (RFC 6716 Table 2):
+#: SILK 0-11 -> 10/20/40/60 ms, hybrid 12-15 -> 10/20 ms,
+#: CELT 16-31 -> 2.5/5/10/20 ms
+def _opus_frame_samples(config: int) -> int:
+    if config < 12:
+        return (480, 960, 1920, 2880)[config & 3]
+    if config < 16:
+        return (480, 960)[config & 1]
+    return (120, 240, 480, 960)[config & 3]
+
+
+def _opus_len(d, p: int, limit: int) -> tuple[int, int]:
+    """One RFC 6716 §3.2.1 frame-length field at ``d[p:]`` (1 or 2 bytes,
+    values 0-1275); raises when the field runs past ``limit``."""
+    if p >= limit:
+        raise ValueError("bad_opus_packet")
+    b0 = int(d[p])
+    if b0 < 252:
+        return b0, p + 1
+    if p + 1 >= limit:
+        raise ValueError("bad_opus_packet")
+    return 4 * int(d[p + 1]) + b0, p + 2
+
+
+def _check_opus_packet(d) -> int:
+    """RFC 6716 §3.2 framing validation of ONE audio packet; returns its
+    duration in 48 kHz samples. Checks the TOC code's exact frame layout:
+    code 1 splits evenly, code 2's explicit first length fits, code 3's
+    frame count / padding chain / VBR lengths (or CBR divisibility) are
+    self-consistent, every frame is <= 1275 bytes, and the packet carries
+    <= 120 ms of audio. This sees malformations the page CRC-32 cannot —
+    the CRC covers whatever bytes the encoder wrote, consistent or not."""
+    n = len(d)
+    if n < 1:
+        raise ValueError("bad_opus_packet")
+    toc = int(d[0])
+    fs = _opus_frame_samples(toc >> 3)
+    code = toc & 0x03
+    if code == 0:
+        if n - 1 > 1275:
+            raise ValueError("bad_opus_packet")
+        return fs
+    if code == 1:
+        if (n - 1) & 1 or (n - 1) // 2 > 1275:
+            raise ValueError("bad_opus_packet")
+        return 2 * fs
+    if code == 2:
+        l1, p = _opus_len(d, 1, n)
+        if l1 > 1275 or p + l1 > n or n - p - l1 > 1275:
+            raise ValueError("bad_opus_packet")
+        return 2 * fs
+    if n < 2:
+        raise ValueError("bad_opus_packet")
+    fcb = int(d[1])
+    vbr, padded, m = fcb >> 7, (fcb >> 6) & 1, fcb & 0x3F
+    if m == 0 or m * fs > 5760:  # 120 ms cap (§3.2.5 R5)
+        raise ValueError("bad_opus_packet")
+    p, pad = 2, 0
+    if padded:
+        while True:
+            if p >= n:
+                raise ValueError("bad_opus_packet")
+            v = int(d[p])
+            p += 1
+            if v == 255:
+                pad += 254
+            else:
+                pad += v
+                break
+    end = n - pad  # frame data region ends where padding begins
+    if end < p:
+        raise ValueError("bad_opus_packet")
+    if vbr:
+        total = 0
+        for _ in range(m - 1):
+            l, p = _opus_len(d, p, end)
+            if l > 1275:
+                raise ValueError("bad_opus_packet")
+            total += l
+        last = end - p - total
+        if last < 0 or last > 1275:
+            raise ValueError("bad_opus_packet")
+    else:
+        r = end - p
+        if r % m or r // m > 1275:
+            raise ValueError("bad_opus_packet")
+    return m * fs
+
+
+def validate_opus_packets(b) -> None:
+    """Packet-layer validation of an Ogg/Opus stream (r6 — the opus analog
+    of the MP3 side-info walk): reassemble packets from the lacing values,
+    validate the OpusHead (version, channel count vs mapping family, exact
+    header length per RFC 7845 §5.1) and OpusTags headers, then check
+    every audio packet's RFC 6716 §3.2 framing. A stream whose page CRCs
+    all verify can still be undecodable here — a forged/buggy encoder's
+    length fields are covered BY the CRC — so this is a cross-field class
+    of corruption only a packet walk can see (same class as granule
+    monotonicity). Page-structure errors must be caught by
+    ``walk_ogg_pages`` first; this assumes pages are well-formed."""
+    from engine.oggcrc import as_u8
+
+    mv = as_u8(b)
+    packets = _ogg_packet_spans(mv)
+    if len(packets) < 2:
+        raise ValueError("bad_opus_packet")  # OpusHead + OpusTags mandatory
+
+    def mat(ranges):
+        if len(ranges) == 1:
+            s, e = ranges[0]
+            return mv[s:e]  # zero-copy view
+        return np.frombuffer(
+            b"".join(bytes(mv[s:e]) for s, e in ranges), dtype=np.uint8
+        )
+
+    head = mat(packets[0])
+    if bytes(head[:8]) != b"OpusHead" or len(head) < 19 or head[8] != 1:
+        raise ValueError("bad_opus_packet")
+    ch, fam = int(head[9]), int(head[18])
+    if fam == 0 and (ch not in (1, 2) or len(head) != 19):
+        raise ValueError("bad_opus_packet")
+    if fam == 1:
+        if not 1 <= ch <= 8 or len(head) != 21 + ch:
+            raise ValueError("bad_opus_packet")
+        streams, coupled = int(head[19]), int(head[20])
+        if streams < 1 or coupled > streams or streams + coupled > 255:
+            raise ValueError("bad_opus_packet")
+    tags = mat(packets[1])
+    if bytes(tags[:8]) != b"OpusTags" or len(tags) < 12:
+        raise ValueError("bad_opus_packet")
+    for pk in packets[2:]:
+        _check_opus_packet(mat(pk))
+
+
+def validate_opus_stream(b) -> None:
+    """Full Ogg/Opus integrity: the CRC-verified page walk
+    (``validate_ogg_stream``) plus the packet-layer framing walk
+    (``validate_opus_packets``). Packet BODY decode (SILK/CELT) stays
+    stubbed — no codec libs in this image."""
+    validate_ogg_stream(b)
+    validate_opus_packets(b)
+
+
 def _mp3_side_info_check(mv, pos: int, flen: int, channels: int,
                          reservoir: int) -> int:
     """Layer III side-info + bit-reservoir structural validation for ONE
@@ -293,7 +468,7 @@ def validate_mp3_stream(b) -> None:
 #: coverage. flac graduated further: engine/flac.py decodes the verbatim
 #: subset to PCM with full CRC-8/CRC-16 verification.
 _HEADER_VALIDATORS = {
-    "opus": validate_ogg_stream,
+    "opus": validate_opus_stream,
     "mp3": validate_mp3_stream,
 }
 
@@ -443,6 +618,7 @@ def _decode_for_batch(b, codec: str | None):
         return pcm, (("flac", frames, stored),)
     if codec == "opus":
         pages, stored, _ = walk_ogg_pages(b)
+        validate_opus_packets(b)  # framing is cheap; only CRCs defer
         return None, (("ogg", pages, stored),)
     if codec == "mp3":
         validate_mp3_stream(b)

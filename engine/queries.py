@@ -1143,8 +1143,9 @@ def _planted_decode_error_case() -> str:
             ELSE 'bad_mp3_frame' END
         WHEN i % 2000 = 47 THEN 'bad_flac_frame'
         WHEN i % 3000 = 53 THEN
-          CASE ((i - 53) // 3000) % 2
-            WHEN 0 THEN 'bad_ogg_page'
+          CASE ((i - 53) // 3000) % 4
+            WHEN 0 THEN 'bad_opus_packet'
+            WHEN 2 THEN 'bad_ogg_page'
             ELSE 'bad_mp3_frame' END
         WHEN i % 3000 = 71 THEN 'bad_mp3_frame'
         END"""

@@ -46,7 +46,12 @@ RULES = {
     "flac_body_corrupt": (2000, 47),         # valid header, corrupted frame body
     "container_body_corrupt": (3000, 53),    # opus/mp3: corruption PAST the first
                                              # page/frame — only a full chain walk
-                                             # (page CRCs / frame-sync hops) sees it
+                                             # sees it. mp3: broken mid-chain sync.
+                                             # opus alternates two depths (r6, see
+                                             # opus_body_corrupt_is_framing): a
+                                             # packet-FRAMING plant with every page
+                                             # CRC valid (only the RFC 6716 walk
+                                             # sees it) / a page-CRC byte flip
     "flac_warmup_corrupt": (2000, 59),       # fixed-predictor frames whose WRITTEN
                                              # warmup samples are shifted: every CRC
                                              # verifies, only genuine predictor
@@ -99,6 +104,17 @@ BODY_CORRUPT_CYCLE = ("opus", "mp3")
 def body_corrupt_codec(i: int) -> str:
     mod, off = RULES["container_body_corrupt"]
     return BODY_CORRUPT_CYCLE[((i - off) // mod) % 2]
+
+
+def opus_body_corrupt_is_framing(i: int) -> bool:
+    """The opus instances of container_body_corrupt (k even) alternate two
+    corruption depths: k%4==0 -> a FRAMING plant (one packet's length field
+    over-claims; every page CRC recomputed and valid — only the RFC 6716
+    packet walk sees it, r6), k%4==2 -> a raw byte flip (breaks that
+    page's CRC-32 — the mid-chain page-CRC catch). At n=2000 the single
+    opus plant (id 53) is the deeper framing flavor."""
+    mod, off = RULES["container_body_corrupt"]
+    return ((i - off) // mod) % 4 == 0
 
 #: codec cycle for container_header_corrupt plants: the k-th planted id
 #: (k = (i - off) // mod) gets cycle[k % 3] — varies the codec across plants
@@ -187,8 +203,21 @@ OGG_PAGE_DATA = 4000  # bytes of packet data per page; keeps a page's word
 
 def ogg_page(seq: int, granule: int, header_type: int, packet: bytes) -> bytes:
     """One complete Ogg page (correct lacing + CRC) carrying ``packet``."""
-    k, rem = divmod(len(packet), 255)
-    lacing = bytes([255] * k + [rem])
+    return ogg_page_multi(seq, granule, header_type, [packet])
+
+
+def ogg_page_multi(
+    seq: int, granule: int, header_type: int, packets: list[bytes]
+) -> bytes:
+    """One complete Ogg page carrying several whole packets — each gets its
+    own lacing run ([255]*k + rem), so the packet boundaries survive
+    reassembly (the opus framing walk depends on them)."""
+    lacing = b"".join(
+        bytes([255] * k + [rem])
+        for k, rem in (divmod(len(p), 255) for p in packets)
+    )
+    assert len(lacing) <= 255, "too many lacing values for one page"
+    packet = b"".join(packets)
     header = (
         b"OggS" + bytes([0, header_type])
         + struct.pack("<q", granule)
@@ -204,22 +233,95 @@ def ogg_page(seq: int, granule: int, header_type: int, packet: bytes) -> bytes:
     return bytes(page)
 
 
-def ogg_opus_bytes(sr: int, body: bytes) -> bytes:
-    """Structurally COMPLETE Ogg/Opus container: BOS page with OpusHead,
-    an OpusTags page, then the body as a chain of data pages — every page
-    with a correct CRC, contiguous sequence numbers, EOS on the last. The
-    decode seam walks and CRC-checks the WHOLE chain (opus packet decode
-    itself stays stubbed — no codec libs in this image)."""
+#: 20 ms TOC configs cycled across synthesized opus packets — one from each
+#: operating mode/bandwidth family (SILK NB/MB/WB, hybrid, CELT NB-FB), so
+#: the framing walk sees every mode class while M*960 <= 5760 stays legal
+#: for every code-3 packet (RFC 6716 Table 2)
+OPUS_CFGS = (1, 5, 9, 15, 19, 23, 27, 31)
+
+#: bytes of body consumed per synthesized packet (every frame stays under
+#: the 1275-byte R2 ceiling in every code below)
+OPUS_CHUNK = 1200
+
+
+def _opus_len_bytes(length: int) -> bytes:
+    """RFC 6716 §3.2.1 frame-length encoding (1 byte < 252, else 2)."""
+    if length < 252:
+        return bytes([length])
+    b0 = 252 + (length - 252) % 4
+    return bytes([b0, (length - b0) // 4])
+
+
+def opus_packets_from_body(body: bytes) -> list[tuple[bytes, int]]:
+    """Frame ``body`` into VALID RFC 6716 packets, cycling the five framing
+    shapes (code 0; code 1 CBR pair; code 2 explicit-length pair; code 3
+    CBR x3; code 3 VBR+padding) and the 20 ms config table. Returns
+    [(packet_bytes, samples_48k)] — deterministic in ``body`` alone. A few
+    body bytes may be dropped per packet to satisfy CBR divisibility; the
+    bytes are opaque (the packet DECODE is stubbed), only framing counts."""
+    out = []
+    pos, j, n = 0, 0, len(body)
+    while pos < n or j == 0:
+        d = body[pos : pos + OPUS_CHUNK]
+        pos += len(d)
+        toc = (OPUS_CFGS[j % 8] << 3) | (((j >> 1) & 1) << 2)
+        mode = j % 5
+        if mode == 0:        # code 0: single frame
+            pkt, m = bytes([toc]) + d, 1
+        elif mode == 1:      # code 1: two equal-size CBR frames
+            half = len(d) // 2
+            pkt, m = bytes([toc | 1]) + d[: 2 * half], 2
+        elif mode == 2:      # code 2: explicit first length, VBR pair
+            l1 = len(d) // 3
+            pkt, m = bytes([toc | 2]) + _opus_len_bytes(l1) + d, 2
+        elif mode == 3:      # code 3 CBR, M=3 (frame-count byte 0x03)
+            third = len(d) // 3
+            pkt, m = bytes([toc | 3, 0x03]) + d[: 3 * third], 3
+        else:                # code 3 VBR, M=2, padded by 2 zero bytes
+            l1 = len(d) // 2
+            pkt = (bytes([toc | 3, 0b11000010, 2])
+                   + _opus_len_bytes(l1) + d + b"\x00\x00")
+            m = 2
+        out.append((pkt, m * 960))
+        j += 1
+    return out
+
+
+def ogg_opus_bytes(sr: int, body: bytes, corrupt_framing: bool = False) -> bytes:
+    """Structurally COMPLETE Ogg/Opus container: BOS page with a valid
+    RFC 7845 OpusHead, an OpusTags page, then the body framed as a chain of
+    VALID RFC 6716 packets (r6: all five framing shapes, two packets per
+    data page, granule = cumulative 48 kHz samples) — every page with a
+    correct CRC, contiguous sequence numbers, EOS on the last. The decode
+    seam walks the pages, CRC-checks the chain AND validates every
+    packet's framing (packet BODY decode stays stubbed — no codec libs).
+
+    ``corrupt_framing`` rewrites one mid-stream packet's first frame-length
+    field to over-claim the packet size, THEN pages and CRCs normally —
+    every checksum verifies, the page walk is clean, and only the
+    packet-framing walk (audio.validate_opus_packets) can see it: the opus
+    analog of the flac warmup / mp3 side-info plants."""
     opus_head = (
         b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
         + struct.pack("<I", sr) + struct.pack("<h", 0) + bytes([0])
     )
     opus_tags = b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 0)
+    pkts = opus_packets_from_body(body)
+    if corrupt_framing:
+        k = 3 * len(pkts) // 4  # past the first pages, mid-chain
+        pkt, samp = pkts[k]
+        toc = pkt[0] & 0xF4  # keep config/stereo, force code 2
+        bad = bytes([toc | 2]) + _opus_len_bytes(1275) + pkt[1:]
+        pkts[k] = (bad, samp)
     pages = [ogg_page(0, 0, 0x02, opus_head), ogg_page(1, 0, 0x00, opus_tags)]
-    chunks = [body[i : i + OGG_PAGE_DATA] for i in range(0, max(len(body), 1), OGG_PAGE_DATA)]
-    for j, ch in enumerate(chunks):
-        last = j == len(chunks) - 1
-        pages.append(ogg_page(2 + j, 960 * (j + 1), 0x04 if last else 0x00, ch))
+    granule = 0
+    for j in range(0, len(pkts), 2):
+        group = pkts[j : j + 2]
+        granule += sum(s for _, s in group)
+        last = j + 2 >= len(pkts)
+        pages.append(ogg_page_multi(
+            2 + j // 2, granule, 0x04 if last else 0x00, [p for p, _ in group]
+        ))
     return b"".join(pages)
 
 
@@ -378,18 +480,20 @@ def mp3_bytes(body: bytes, corrupt_sideinfo: bool = False) -> bytes:
 def container_bytes(
     codec: str, i: int, sr: int, n_samples: int,
     corrupt_sideinfo: bool = False,
+    corrupt_framing: bool = False,
 ) -> bytes:
     """Payload for a non-PCM codec. flac: REAL verbatim-subset frames
     (engine/flac.py) carrying the clip's noisy PCM — fully decodable and
     CRC-verified by the validation engine. opus/mp3: valid container
-    structure + deterministic opaque packet bodies (no decoder libs in this
-    image; full chain + side-info/reservoir validation at the decode seam,
-    packet decode stubbed)."""
+    structure + deterministic opaque frame BODIES inside genuinely valid
+    framing (r6: opus packets carry real RFC 6716 length coding; no
+    decoder libs in this image, so chain + framing + side-info/reservoir
+    validation at the decode seam, packet body decode stubbed)."""
     assert codec != "flac", "flac payloads are built in _gen_rows (need the pcm)"
     rng = np.random.default_rng(np.random.SeedSequence([SEED, int(i), 4]))
     body = rng.bytes(max(n_samples, 64))
     if codec == "opus":
-        return ogg_opus_bytes(sr, body)
+        return ogg_opus_bytes(sr, body, corrupt_framing=corrupt_framing)
     return mp3_bytes(body, corrupt_sideinfo=corrupt_sideinfo)
 
 
@@ -643,9 +747,14 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
                 b = b"XXXX" + b[4:]  # break magic ('fLaC' or 'OggS')
         elif codec in ("opus", "mp3"):
             n_samp = min(int(sr * max(dur, 200) / 1000), 200_000)
+            opus_framing_plant = bool(
+                chain_corrupt and codec == "opus"
+                and opus_body_corrupt_is_framing(i)
+            )
             b = container_bytes(codec, i, sr * 2 if sr_mismatch else sr, n_samp,
-                                corrupt_sideinfo=bool(sideinfo_corrupt))
-            if chain_corrupt:
+                                corrupt_sideinfo=bool(sideinfo_corrupt),
+                                corrupt_framing=opus_framing_plant)
+            if chain_corrupt and not opus_framing_plant:
                 ba = bytearray(b)
                 if codec == "mp3":
                     # frames carry no CRC — break a mid-chain frame HEADER

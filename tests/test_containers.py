@@ -376,3 +376,140 @@ def test_mp3_reservoir_plant_invisible_to_header_walk():
     audio.validate_mp3_stream(clean)
     with pytest.raises(ValueError, match="bad_mp3_frame"):
         audio.validate_mp3_stream(bad)
+
+
+# ---------------------------------------------------------------------------
+# opus packet framing (r6 — RFC 6716 §3.2 walk behind the page CRCs)
+# ---------------------------------------------------------------------------
+
+def _opus_fixture(n=40000, seed=3):
+    return ogg_opus_bytes(16000, np.random.default_rng(seed).bytes(n))
+
+
+def test_opus_packets_valid_stream_passes():
+    """The synthesized packet stream (all five framing shapes, multi-packet
+    pages, cumulative granules) passes both the page and packet walks."""
+    b = _opus_fixture()
+    audio.validate_opus_stream(b)
+    # and exercises every code: collect TOC codes of the audio packets
+    from engine.oggcrc import as_u8
+    spans = audio._ogg_packet_spans(as_u8(b))
+    codes = {int(as_u8(b)[s]) & 0x03 for (s, _e), *_ in
+             (pk for pk in spans[2:])}
+    assert codes == {0, 1, 2, 3}
+
+
+def test_opus_framing_plant_invisible_to_page_walk():
+    """corrupt_framing rewrites ONE packet's length field and re-CRCs: the
+    page walk (every CRC) is clean; only the packet walk raises."""
+    body = np.random.default_rng(5).bytes(30000)
+    clean = ogg_opus_bytes(16000, body)
+    bad = ogg_opus_bytes(16000, body, corrupt_framing=True)
+    assert clean != bad
+    audio.validate_ogg_stream(bad)  # all CRCs verify
+    audio.validate_opus_packets(clean)
+    with pytest.raises(ValueError, match="bad_opus_packet"):
+        audio.validate_opus_packets(bad)
+
+
+def test_opus_packet_spanning_pages_reassembled():
+    """A packet larger than one page's lacing budget spans pages via the
+    continued-packet flag; the span collector must reassemble it."""
+    from engine.synth import ogg_page_multi, OGG_SERIAL  # noqa: F401
+    import struct
+
+    # one giant code-0 packet (CELT 20ms, config 31): 9000 bytes
+    toc = (31 << 3)
+    pkt = bytes([toc]) + b"q" * 1274  # frame <= 1275
+    head = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+            + struct.pack("<I", 16000) + struct.pack("<h", 0) + bytes([0]))
+    tags = b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 0)
+    # split pkt across two pages by hand: first page carries 510 bytes with
+    # lacing [255, 255] (packet open), second page continues with the rest
+    part1, part2 = pkt[:510], pkt[510:]
+    pages = [synth.ogg_page(0, 0, 0x02, head), synth.ogg_page(1, 0, 0x00, tags)]
+    hdr = (b"OggS" + bytes([0, 0x00]) + struct.pack("<q", -1)
+           + struct.pack("<I", synth.OGG_SERIAL) + struct.pack("<I", 2)
+           + b"\x00\x00\x00\x00" + bytes([2, 255, 255]))
+    pg = bytearray(hdr + part1)
+    pg[22:26] = struct.pack("<I", crc32(bytes(pg)))
+    pages.append(bytes(pg))
+    pages.append(synth.ogg_page(3, 960, 0x04 | 0x01, part2))
+    b = b"".join(pages)
+    audio.validate_opus_stream(b)  # reassembles and validates the packet
+
+
+def test_opus_continuation_flag_mismatch_is_violation():
+    """A page claiming continuation with no open packet (or vice versa) is
+    a framing violation even when its CRC verifies."""
+    b = bytearray(_opus_fixture(5000))
+    # find the second data page and set its continued flag
+    pos, page_idx = 0, 0
+    target = None
+    while pos < len(b):
+        n_segs = b[pos + 26]
+        plen = 27 + n_segs + sum(b[pos + 27 : pos + 27 + n_segs])
+        if page_idx == 3:
+            target = pos
+            break
+        pos += plen
+        page_idx += 1
+    assert target is not None
+    b[target + 5] |= 0x01
+    pg = bytearray(b[target : target + plen])
+    pg[22:26] = b"\x00\x00\x00\x00"
+    b[target + 22 : target + 26] = __import__("struct").pack(
+        "<I", crc32(bytes(pg)))
+    audio.validate_ogg_stream(bytes(b))  # CRCs fine
+    with pytest.raises(ValueError, match="bad_opus_packet"):
+        audio.validate_opus_packets(bytes(b))
+
+
+def test_opus_bad_opushead_is_violation():
+    """OpusHead with a family-0 channel count of 3 (or a wrong version) is
+    rejected at the packet layer."""
+    b = bytearray(_opus_fixture(2000))
+    n_segs = b[26]
+    payload_at = 27 + n_segs
+    for patch_off, val in ((9, 3), (8, 2)):  # channels=3; version=2
+        bb = bytearray(b)
+        bb[payload_at + patch_off] = val
+        pg = bytearray(bb[: payload_at + sum(b[27 : 27 + n_segs])])
+        pg[22:26] = b"\x00\x00\x00\x00"
+        bb[22:26] = __import__("struct").pack("<I", crc32(bytes(pg)))
+        audio.validate_ogg_stream(bytes(bb))
+        with pytest.raises(ValueError, match="bad_opus_packet"):
+            audio.validate_opus_packets(bytes(bb))
+
+
+def test_opus_granules_are_cumulative_durations():
+    """The generator's page granules equal the running 48 kHz sample count
+    of completed packets — the cross-field consistency the monotonicity
+    check rides on."""
+    from engine.oggcrc import as_u8
+    import struct
+
+    b = _opus_fixture(20000)
+    mv = as_u8(b)
+    spans = audio._ogg_packet_spans(mv)
+    # recompute durations per audio packet
+    durs = [audio._check_opus_packet(
+        mv[s:e] if len(pk) == 1 else np.frombuffer(
+            b"".join(bytes(mv[s2:e2]) for s2, e2 in pk), np.uint8))
+        for pk in spans[2:] for (s, e) in [pk[0]]]
+    # walk pages, collect granules of data pages
+    pos, page_i, packets_done, cum = 0, 0, 0, 0
+    k = 0
+    while pos < len(mv):
+        n_segs = mv[pos + 26]
+        lac = mv[pos + 27 : pos + 27 + n_segs]
+        granule = struct.unpack("<q", bytes(mv[pos + 6 : pos + 14]))[0]
+        done_here = int(np.sum(np.asarray(lac) < 255))
+        if page_i >= 2:
+            for _ in range(done_here):
+                cum += durs[k]
+                k += 1
+            assert granule == cum, (page_i, granule, cum)
+        pos += 27 + n_segs + int(np.sum(lac))
+        page_i += 1
+    assert k == len(durs)

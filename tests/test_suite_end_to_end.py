@@ -189,7 +189,15 @@ def test_container_chain_corruption_caught(result):
     for cid in manifest["container_body_corrupt"]:
         i = int(cid.split("_")[1])
         codec = synth.body_corrupt_codec(i)
-        expected_err = {"opus": "bad_ogg_page", "mp3": "bad_mp3_frame"}[codec]
+        if codec == "opus":
+            # r6: opus instances alternate a packet-FRAMING plant (every
+            # page CRC valid — only the RFC 6716 walk sees it) with the
+            # page-CRC byte flip
+            expected_err = ("bad_opus_packet"
+                            if synth.opus_body_corrupt_is_framing(i)
+                            else "bad_ogg_page")
+        else:
+            expected_err = "bad_mp3_frame"
         assert errs[cid] == expected_err, (cid, codec, errs.get(cid))
 
 
