@@ -16,7 +16,8 @@ channel assignments with exact integer decorrelation, r6) — in BOTH
 containers: native 'fLaC' and Ogg-FLAC (xiph FLAC-to-Ogg mapping; full
 page walk + packet reassembly + frame decode, r4). opus/mp3 plug into the
 same ``decode`` seam — the full container STRUCTURE is validated (every Ogg
-page CRC-32 + granule monotonicity; every MP3 frame-header hop plus, r6,
+page CRC-32 + granule monotonicity; every opus packet's RFC 6716 framing
+behind the lacing values, r6; every MP3 frame-header hop plus, r6,
 per-frame Layer III side-info/bit-reservoir consistency) before the
 packet-decode stub raises NotImplementedError; the Spark-side plumbing
 (schema, batching, join) is identical and is what we test. Net: 3 of 4
