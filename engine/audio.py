@@ -183,17 +183,22 @@ def walk_ogg_pages(
     return pages, storeds, payloads
 
 
-def _ogg_packet_spans(mv) -> list[list[tuple[int, int]]]:
+def _ogg_packet_spans(mv, with_pages: bool = False):
     """Packet boundaries from the Ogg lacing values: one entry per packet,
     each a list of (start, end) byte ranges into ``mv`` (multiple ranges
     only when a packet spans pages). Assumes ``walk_ogg_pages`` already
     validated the page structure; adds the lacing-level checks that walk
     skips: the continued-packet flag (0x01) must agree with whether a
     packet is actually open across the page boundary, and the stream must
-    not end mid-packet. Zero payload copies — ranges only."""
+    not end mid-packet. Zero payload copies — ranges only.
+
+    ``with_pages=True`` additionally returns one ``(granule_position,
+    packets_completed_so_far)`` tuple per page, the inputs to the RFC 7845
+    §4 granule-arithmetic cross-check."""
     n = len(mv)
     pos = 0
     packets: list[list[tuple[int, int]]] = []
+    pages: list[tuple[int, int]] = []
     cur: list[tuple[int, int]] = []
     while pos < n:
         n_segs = mv[pos + 26]
@@ -209,10 +214,13 @@ def _ogg_packet_spans(mv) -> list[list[tuple[int, int]]]:
             if v < 255:
                 packets.append(cur)
                 cur = []
+        if with_pages:
+            granule = struct.unpack("<q", bytes(mv[pos + 6 : pos + 14]))[0]
+            pages.append((granule, len(packets)))
         pos = data + off
     if cur:
         raise ValueError("bad_opus_packet")  # stream ends mid-packet
-    return packets
+    return (packets, pages) if with_pages else packets
 
 
 #: 48 kHz samples per frame for each TOC config (RFC 6716 Table 2):
@@ -314,11 +322,21 @@ def validate_opus_packets(b) -> None:
     length fields are covered BY the CRC — so this is a cross-field class
     of corruption only a packet walk can see (same class as granule
     monotonicity). Page-structure errors must be caught by
-    ``walk_ogg_pages`` first; this assumes pages are well-formed."""
+    ``walk_ogg_pages`` first; this assumes pages are well-formed.
+
+    r6b adds the RFC 7845 §4 granule-position ARITHMETIC on top of the
+    walk's monotonicity: each page's granule must equal the cumulative
+    48 kHz sample count of all audio packets completed by that page
+    (start-offset tolerated on the first audio page, end-trim on the EOS
+    page, both per spec), pages completing no packet must carry -1
+    (RFC 3533 §6), and pages completing only the two header packets must
+    carry 0. A stream can have every CRC valid, clean framing, AND
+    monotone granules while its granules still lie about sample positions
+    — seek/duration corruption only this arithmetic can see."""
     from engine.oggcrc import as_u8
 
     mv = as_u8(b)
-    packets = _ogg_packet_spans(mv)
+    packets, pages = _ogg_packet_spans(mv, with_pages=True)
     if len(packets) < 2:
         raise ValueError("bad_opus_packet")  # OpusHead + OpusTags mandatory
 
@@ -345,8 +363,41 @@ def validate_opus_packets(b) -> None:
     tags = mat(packets[1])
     if bytes(tags[:8]) != b"OpusTags" or len(tags) < 12:
         raise ValueError("bad_opus_packet")
+    cum = [0]  # cum[k] = 48 kHz samples in the first k AUDIO packets
     for pk in packets[2:]:
-        _check_opus_packet(mat(pk))
+        cum.append(cum[-1] + _check_opus_packet(mat(pk)))
+
+    # RFC 7845 §4 granule arithmetic. ``offset`` is the first audio page's
+    # start offset (a stream captured mid-broadcast legally begins at a
+    # nonzero position); every later non-EOS page must land EXACTLY on
+    # offset + cumulative samples, and the EOS page may only trim samples
+    # that its own packets supplied.
+    offset = None
+    prev_done = 0
+    last_i = len(pages) - 1
+    for i, (granule, done) in enumerate(pages):
+        if done == prev_done:
+            if granule != -1:  # no packet completes here (RFC 3533 §6)
+                raise ValueError("bad_opus_packet")
+        elif done <= 2:
+            if granule != 0:   # header-only page (OpusHead / OpusTags)
+                raise ValueError("bad_opus_packet")
+        else:
+            expect = cum[done - 2]
+            if offset is None:
+                # when the first audio page is ALSO the EOS page, start
+                # offset and end trim are indistinguishable — only the
+                # walk's monotonicity applies; otherwise offset >= 0
+                if i != last_i and granule < expect:
+                    raise ValueError("bad_opus_packet")
+                offset = granule - expect
+            elif i == last_i:
+                prev_cum = cum[prev_done - 2]
+                if granule > offset + expect or granule < offset + prev_cum:
+                    raise ValueError("bad_opus_packet")
+            elif granule != offset + expect:
+                raise ValueError("bad_opus_packet")
+        prev_done = done
 
 
 def validate_opus_stream(b) -> None:

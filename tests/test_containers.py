@@ -513,3 +513,119 @@ def test_opus_granules_are_cumulative_durations():
         pos += 27 + n_segs + int(np.sum(lac))
         page_i += 1
     assert k == len(durs)
+
+
+# ---------------------------------------------------------------------------
+# opus granule-position arithmetic (r6b — RFC 7845 §4 behind monotonicity)
+# ---------------------------------------------------------------------------
+
+def _page_offsets(b):
+    """(offset, length) of every Ogg page in ``b``."""
+    out, pos = [], 0
+    while pos < len(b):
+        n_segs = b[pos + 26]
+        plen = 27 + n_segs + sum(b[pos + 27 : pos + 27 + n_segs])
+        out.append((pos, plen))
+        pos += plen
+    return out
+
+
+def _rewrite_granule(b, page_idx, granule):
+    """Set one page's granule field and recompute its CRC — every checksum
+    in the stream stays valid."""
+    import struct
+
+    b = bytearray(b)
+    pos, plen = _page_offsets(b)[page_idx]
+    b[pos + 6 : pos + 14] = struct.pack("<q", granule)
+    pg = bytearray(b[pos : pos + plen])
+    pg[22:26] = b"\x00\x00\x00\x00"
+    b[pos + 22 : pos + 26] = struct.pack("<I", crc32(bytes(pg)))
+    return bytes(b)
+
+
+def _page_granules(b):
+    import struct
+
+    return [struct.unpack("<q", bytes(b[p + 6 : p + 14]))[0]
+            for p, _ in _page_offsets(b)]
+
+
+def test_opus_granule_inflation_caught_only_by_arithmetic():
+    """+1 sample on one mid-stream page's granule: still strictly monotone
+    (the page walk's check passes), every CRC valid, framing clean — only
+    the RFC 7845 §4 cumulative-duration arithmetic can see it."""
+    b = _opus_fixture()
+    n_pages = len(_page_offsets(b))
+    mid = n_pages // 2  # a data page well past the two header pages
+    bad = _rewrite_granule(b, mid, _page_granules(b)[mid] + 1)
+    audio.validate_ogg_stream(bad)  # CRCs + monotonicity all pass
+    audio.validate_opus_stream(b)
+    with pytest.raises(ValueError, match="bad_opus_packet"):
+        audio.validate_opus_stream(bad)
+
+
+def test_opus_header_page_granule_must_be_zero():
+    """The OpusTags page carries granule 0 by spec; a nonzero value with a
+    valid CRC is a cross-field violation."""
+    b = _opus_fixture(6000)
+    bad = _rewrite_granule(b, 1, 960)
+    audio.validate_ogg_stream(bad)
+    with pytest.raises(ValueError, match="bad_opus_packet"):
+        audio.validate_opus_packets(bad)
+
+
+def test_opus_eos_end_trim_is_legal_but_overclaim_is_not():
+    """RFC 7845 lets the EOS page trim samples its own packets supplied
+    (granule < cumulative) — that must PASS; claiming MORE audio than the
+    packets contain must fail."""
+    b = _opus_fixture(9000)
+    last = len(_page_offsets(b)) - 1
+    g = _page_granules(b)
+    trimmed = _rewrite_granule(b, last, g[last] - 60)  # < last page's samples
+    audio.validate_opus_stream(trimmed)
+    overclaim = _rewrite_granule(b, last, g[last] + 480)
+    with pytest.raises(ValueError, match="bad_opus_packet"):
+        audio.validate_opus_stream(overclaim)
+
+
+def test_opus_eos_cannot_trim_more_than_its_own_page():
+    """Trimming below the PREVIOUS page's cumulative position would erase
+    samples from pages already granule-stamped — rejected even though the
+    value stays non-negative and the walk's monotonicity still holds iff
+    equal; use exactly prev granule - 1 to keep CRCs the only other gate."""
+    b = _opus_fixture(9000)
+    pages = _page_offsets(b)
+    g = _page_granules(b)
+    last = len(pages) - 1
+    bad = _rewrite_granule(b, last, g[last - 1] - 1)
+    with pytest.raises(ValueError, match="bad_"):
+        audio.validate_opus_stream(bad)  # walk's monotonicity fires first
+    with pytest.raises(ValueError, match="bad_opus_packet"):
+        audio.validate_opus_packets(bad)  # arithmetic catches it standalone
+
+
+def test_opus_open_page_granule_must_be_minus_one():
+    """A page that completes no packet must carry granule -1 (RFC 3533 §6);
+    re-stamping the spanning fixture's open page with 0 is a violation."""
+    import struct
+
+    toc = 31 << 3
+    pkt = bytes([toc]) + b"q" * 1274
+    head = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+            + struct.pack("<I", 16000) + struct.pack("<h", 0) + bytes([0]))
+    tags = b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 0)
+    part1, part2 = pkt[:510], pkt[510:]
+    pages = [synth.ogg_page(0, 0, 0x02, head), synth.ogg_page(1, 0, 0x00, tags)]
+    hdr = (b"OggS" + bytes([0, 0x00]) + struct.pack("<q", -1)
+           + struct.pack("<I", synth.OGG_SERIAL) + struct.pack("<I", 2)
+           + b"\x00\x00\x00\x00" + bytes([2, 255, 255]))
+    pg = bytearray(hdr + part1)
+    pg[22:26] = struct.pack("<I", crc32(bytes(pg)))
+    pages.append(bytes(pg))
+    pages.append(synth.ogg_page(3, 960, 0x04 | 0x01, part2))
+    good = b"".join(pages)
+    audio.validate_opus_stream(good)
+    bad = _rewrite_granule(good, 2, 0)
+    with pytest.raises(ValueError, match="bad_opus_packet"):
+        audio.validate_opus_stream(bad)
