@@ -1298,15 +1298,13 @@ def kde_threshold_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "kde_threshold_pipeline_sketch",
-    f"""
-    WITH exact AS ({_kde_oracle_sql()})
-    SELECT CAST(count(*) AS BIGINT) AS n_exact,
-           true AS sketch_count_within_bound
-    FROM exact
-    """,
-)
+# NOTE (r6b): kde_threshold_pipeline_sketch gave up its driver slot to
+# segment_clips_1s (the driver window holds exactly 50 queries) — the
+# t-digest machinery it exercised stays driver-visible twice over
+# (tdigest_quantile_accuracy, drift_sketch_accuracy_clips) and the exact
+# KDE pipeline keeps its own slot; the digest-fit KDE path stays
+# pytest-pinned (tests/test_sources_kde_grid.py:77
+# test_kde_from_digest_close_to_exact_fit).
 def kde_threshold_pipeline_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path of the KDE pipeline: fit state derives from ONE t-digest
     sketch pass (centroids+weights), so the 'fit' summarizes 10^12 rows in
@@ -1797,6 +1795,138 @@ def resample_clips_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("identity_broken"),
             ),
             F.when(present, F.lit("resampled_present")),
+        )
+    )
+    return j.select("clip_id", F.explode(facts).alias("fact"))
+
+
+_SEGMENT_ORACLE = f"""
+    WITH ids AS (SELECT unnest(range(0, {_FIXTURE_N})) AS i)
+    SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 10, '0') AS clip_id,
+           'segments_present' AS fact
+    FROM ids
+    WHERE i % 2000 IN (13, 59, 63) OR i % 4000 = 43 OR i % 500 = 11
+"""
+
+
+@register("segment_clips_1s", _SEGMENT_ORACLE)
+def segment_clips_1s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling as a driver-checked operator (VERDICT r5
+    #4, the slot funded by retiring kde_threshold_pipeline_sketch):
+    features.segment_clips (1 s canonical-WAV segments, one mapInArrow pass
+    over the real decode seam, bounded fan-out emission) runs on the
+    planted fixture and the query emits one row per FACT, each derivable
+    from the planting rules alone:
+
+      * segments_present — clips whose planting rule FORCES a decodable
+        codec must contribute segments: payload_corrupt (13: garbage
+        signal in a pristine container — segmentation is a PREP step, so
+        it DOES segment; the invariant pass is where it's reported),
+        flac_warmup_corrupt (59), flac_stereo_side_corrupt (63: stereo
+        decorrelation + downmix), sr_metadata_mismatch (43: valid flac
+        body behind the lying STREAMINFO), codec_null (11 mod 500: wav
+        path). The EXPECTED rows — everything below is planted-empty:
+      * seg_count_mismatch — a clip's distinct-segment count disagrees
+        with ceil(n_in / sr_hz) where n_in = least(floor(sr_hz *
+        greatest(dur_ms, 200) / 1000), 200000) from the COLUMNS (step =
+        sr_hz at 1000 ms; partial tail kept);
+      * idx_gap — seg_idx is not exactly 0..n_segs-1;
+      * coverage_broken — per-segment sample counts, recovered from the
+        canonical-WAV container itself ((length(bytes)-44)/2), don't sum
+        back to n_in: the segments must tile the decode losslessly;
+      * seg_meta_mismatch — a segment's dur_ms column disagrees with
+        floor(n_samples*1000/sr), or its sr_hz disagrees with the source
+        clip's column;
+      * row_multiplicity_broken — every (clip_id, seg_idx) must appear
+        exactly w times, w = 2 for the clip_id_duplicate plants (7 mod
+        1000: the input row is duplicated, and segmentation is per-row, so
+        its whole segment fan-out must double), else 1;
+      * corrupt_produced_rows — planted container/body corruptions
+        (41 mod 3000, 47 mod 2000, 53 mod 3000, 71 mod 3000) must
+        contribute ZERO rows.
+
+    Clips whose codec the rng drew (wav/flac vs the stubbed opus/mp3)
+    deliberately never reach the output contract — rng-dependent facts are
+    not derivable in the planting-rule SQL. Scale shape: bytes never enters
+    a join; both aggregations combine map-side before one exchange keyed on
+    clip_id; the dims join is an explicit broadcast. Reference analog:
+    fixed-length windowing of each series before scoring
+    (/root/reference/models/utils.py:123-138 window framing)."""
+    from engine import features
+
+    clips = _clips_2k(spark)
+    segs = features.segment_clips(clips, seg_ms=1000)
+    i = F.substring("clip_id", 6, 10).cast("long")
+    dims = clips.select(
+        "clip_id",
+        F.col("sr_hz").alias("src_sr"),
+        F.col("dur_ms").alias("src_dur"),
+    ).dropDuplicates(["clip_id"])
+    seg_samp = ((F.length("bytes") - F.lit(44)) / F.lit(2)).cast("long")
+    # duplicate input rows (7 mod 1000) are byte-identical, so first() of
+    # any per-segment attribute is well-defined; mult carries the row count
+    per_seg = segs.groupBy("clip_id", "seg_idx").agg(
+        F.count(F.lit(1)).alias("mult"),
+        F.first(seg_samp).alias("n_samp"),
+        F.first("dur_ms").alias("seg_dur"),
+        F.first("sr_hz").alias("seg_sr"),
+    )
+    per_clip = per_seg.groupBy("clip_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.min("seg_idx").alias("min_idx"),
+        F.max("seg_idx").alias("max_idx"),
+        F.sum("n_samp").alias("tot_samp"),
+        F.min("mult").alias("mult_lo"),
+        F.max("mult").alias("mult_hi"),
+        F.min("seg_sr").alias("sr_lo"),
+        F.max("seg_sr").alias("sr_hi"),
+        F.sum(
+            F.when(
+                F.col("seg_dur")
+                != F.floor(F.col("n_samp") * 1000 / F.col("seg_sr")),
+                1,
+            ).otherwise(0)
+        ).alias("n_dur_bad"),
+    )
+    j = per_clip.join(F.broadcast(dims), "clip_id")
+    n_in = F.least(
+        F.floor(
+            F.col("src_sr").cast("long")
+            * F.greatest(F.col("src_dur").cast("long"), F.lit(200))
+            / 1000
+        ),
+        F.lit(200_000),
+    )
+    exp_segs = F.ceil(n_in / F.col("src_sr"))
+    exp_mult = F.when(i % 1000 == 7, F.lit(2)).otherwise(F.lit(1))
+    corrupt = (
+        (i % 3000 == 41) | (i % 2000 == 47) | (i % 3000 == 53)
+        | (i % 3000 == 71)
+    )
+    present = (
+        (i % 2000).isin(13, 59, 63) | (i % 4000 == 43) | (i % 500 == 11)
+    )
+    facts = F.array_compact(
+        F.array(
+            F.when(F.col("n_segs") != exp_segs, F.lit("seg_count_mismatch")),
+            F.when(
+                (F.col("min_idx") != 0)
+                | (F.col("max_idx") != F.col("n_segs") - 1),
+                F.lit("idx_gap"),
+            ),
+            F.when(F.col("tot_samp") != n_in, F.lit("coverage_broken")),
+            F.when(
+                (F.col("n_dur_bad") > 0)
+                | (F.col("sr_lo") != F.col("src_sr"))
+                | (F.col("sr_hi") != F.col("src_sr")),
+                F.lit("seg_meta_mismatch"),
+            ),
+            F.when(
+                (F.col("mult_lo") != exp_mult) | (F.col("mult_hi") != exp_mult),
+                F.lit("row_multiplicity_broken"),
+            ),
+            F.when(corrupt, F.lit("corrupt_produced_rows")),
+            F.when(present, F.lit("segments_present")),
         )
     )
     return j.select("clip_id", F.explode(facts).alias("fact"))
