@@ -115,3 +115,20 @@ def test_audio_features_query_broadcasts_dim_single_payload_scan(spark):
     for line in p.splitlines():
         if "Exchange" in line and "reuse" not in line.lower():
             assert "bytes" not in line, line
+
+
+def test_segment_query_broadcasts_dim_payload_never_shuffles(spark):
+    """segment_clips_1s (r6c): the segment fan-out must come from ONE
+    mapInArrow payload scan; per-segment sample counts are reduced map-side
+    (partial aggregation) so the binary column never crosses an Exchange;
+    the (clip_id, sr_hz, dur_ms) dim join must be a broadcast."""
+    from engine import queries as qmod
+
+    p = plan_of(qmod.Q["segment_clips_1s"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("MapInArrow") == 1, p.count("MapInArrow")
+    assert "partial_" in p  # per-(clip, seg) partials collapse map-side
+    for line in p.splitlines():
+        if "Exchange" in line and "reuse" not in line.lower():
+            assert "bytes" not in line, line
