@@ -204,3 +204,23 @@ def test_segment_and_resample_flush_bounded(spark, clips):
         .orderBy("clip_id").collect()
     assert small_seg == base_seg
     assert small_res == base_res
+
+
+def test_segment_clips_1s_driver_query_fact_contract(spark):
+    """The registered driver query's full fact contract at the driver
+    fixture size: exactly one segments_present row per forced-decodable
+    plant, and every violation fact (count/idx/coverage/meta/multiplicity/
+    corrupt-rows) planted-empty — the pytest witness of the DuckDB oracle
+    in tools/check_oracle.py."""
+    from engine import queries as qmod
+
+    rows = qmod.Q["segment_clips_1s"](spark, "unused").collect()
+    got = {(r.clip_id, r.fact) for r in rows}
+    n = qmod._FIXTURE_N
+    present = sorted(
+        i for i in range(n)
+        if i % 2000 in (13, 59, 63) or i % 4000 == 43 or i % 500 == 11
+    )
+    expected = {(f"clip_{i:010d}", "segments_present") for i in present}
+    assert got == expected, (got - expected, expected - got)
+    assert len(rows) == len(expected)  # no duplicate fact rows either
