@@ -116,8 +116,18 @@ def ivf_assign_distributed(
     centroid table, argmax cosine per vector via one max-of-struct
     aggregation. Zero driver-side vector state at any table size.
     Returns (id, vec, centroid_id)."""
-    j = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(centroids))
-    sim = _cos_cols(F.col(vec_col), F.col("cvec"))
+    # both norms are pair-invariant: compute each ONCE (per vector / per
+    # centroid) instead of once per (vector, centroid) cell — identical
+    # expressions, identical bits, 1/k the sqrt+fold work
+    j = (
+        df.select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__nv")
+        )
+        .crossJoin(
+            F.broadcast(centroids.withColumn("__nc", _norm(F.col("cvec"))))
+        )
+    )
+    sim = _dot(F.col(vec_col), F.col("cvec")) / (F.col("__nv") * F.col("__nc"))
     # struct compare: sim first, cid breaks ties deterministically; the vec
     # field is never reached by the comparison (cid is unique) and just rides
     # along so no second join is needed to recover it
@@ -204,20 +214,29 @@ def cosine_near_dup_pairs(
     verify cost; hot buckets are bounded like MinHash-LSH. A vector lives in
     exactly one bucket, so no pair dedup pass is needed.
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold."""
+    # norm is computed ONCE per vector here (identical expression, identical
+    # bits) instead of once per candidate PAIR side below — the verify join
+    # then only evaluates the dot product per pair (guide §1.2 step 2:
+    # don't recompute what a cheaper stage already knows)
     withb = df.select(
-        F.col(id_col), F.col(vec_col), _bucket_bits(vec_col, n_planes, seed, dim).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        _bucket_bits(vec_col, n_planes, seed, dim).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     sizes = withb.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz")).filter(
         (F.col("sz") > 1) & (F.col("sz") <= max_bucket_size)
     )
     guarded = withb.join(F.broadcast(sizes.select("bucket")), "bucket")
     a = guarded.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = guarded.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

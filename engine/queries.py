@@ -31,6 +31,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small scan across the cluster before expression-heavy
+    per-row work (guide §2.4/§6): a single-row-group parquet file scans as
+    ONE task no matter how small maxPartitionBytes is, so every md5/HOF
+    stage above it runs on one core of N. A round-robin repartition of the
+    raw rows (a few MB here) buys full parallelism for the compute stage.
+    Scale-adaptive: derived from defaultParallelism vs the scan's real split
+    count — a no-op on inputs that already carry enough splits, so at
+    production scale (thousands of files) no extra exchange appears."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         Q[name] = fn
@@ -690,7 +705,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered with the REAL anti-blowup guard (max_bucket_size=1000, the
     standard LSH defense against hot boilerplate buckets at web scale); the
     oracle applies the same bucket-size filter."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", n_bands=8, k=3)
     return dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1000)
 
@@ -723,7 +738,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", n_bands=8, k=3)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1000)
     j = dedup.ngram_jaccard_pairs(docs, pairs, "text", "doc_id", k=3, threshold=0.1)
@@ -799,7 +814,7 @@ def text_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered queries; merged in r3 to fit the driver's 50-query window —
     all three ops remain independently value-checked via their columns, and
     one scan per document batch is the production shape anyway."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     tc = text.token_counts("text")
     return docs.select(
         "doc_id",
@@ -828,7 +843,7 @@ def text_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     fp = text.winnow_fingerprints(docs, "text", "doc_id", k=8, w=4)
     return fp.select("doc_id", (F.col("pos") + 1).alias("pos"), "fingerprint")
 
@@ -862,7 +877,7 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     qv = _query_vec(spark, sf_dir)
     top = ann.brute_force_topk(emb, "embedding", "vec_id", qv, k=10)
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
@@ -926,7 +941,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: hyperplane-LSH bucket candidates (equi-join,
     never all-pairs) + exact-cosine verification — the embedding-space member
     of the dedup family (exact / MinHash / SimHash / Jaccard / cosine)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return ann.cosine_near_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.2, n_planes=8, seed=42, dim=64
     )
@@ -967,7 +982,7 @@ def ann_ivf_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5-ranked sample (TakeOrderedAndProject), probe selection
     and assignment are broadcast joins + max-of-struct argmax — the 10^12-row
     variant of ann_ivf_topk (whose centroid collect is demo-only)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     qv = _query_vec(spark, sf_dir)
     top = ann.ivf_topk_distributed(
         emb, "embedding", "vec_id", qv, k=10, n_centroids=32, n_probe=2
@@ -1013,7 +1028,7 @@ def ewma_residual_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("hyperplane_lsh_bucket_sizes", _hyperplane_oracle_sql())
 def hyperplane_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     b = ann.hyperplane_lsh_buckets(emb, "embedding", "vec_id", n_planes=12, seed=42, dim=64)
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
@@ -2136,7 +2151,7 @@ def simhash_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFr
     """SimHash near-dup pipeline (signature -> pigeonhole band buckets ->
     hamming verify); n_bands=8 > max_hamming=6 keeps candidate generation
     complete, bucket guard at its production value."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.simhash_near_dup_pairs(
         docs, "text", "doc_id", max_hamming=6, n_bands=8, max_bucket_size=1000
     )
@@ -2183,7 +2198,7 @@ def near_dup_clusters_twophase_embeddings(spark: SparkSession, sf_dir: str) -> D
     replaces min-label's O(diameter) loop when one boilerplate chain can be
     arbitrarily deep (VERDICT r3 #4). Must match the min-label labeling
     exactly (same recursive-CTE oracle)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     pairs = ann.cosine_near_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.2, n_planes=8, seed=42, dim=64
     )

@@ -41,11 +41,22 @@ def test_ann_topk_avoids_global_sort(spark, Q):
 
 
 def test_winnow_single_exchange_carries_fingerprints_not_grams(spark, Q):
+    """Two exchanges allowed since r7: the round-robin _spread of RAW doc
+    rows (parallelizes the md5/window stage over a single-row-group scan)
+    plus the fingerprint groupBy. The invariant that matters at 100 TB is
+    unchanged: the GRAM stream (one row per character position) never
+    crosses an Exchange — only raw text below the hashing, and collapsed
+    (doc_id, fingerprint) pairs above it."""
     p = plan_of(Q["winnow_fingerprints_documents"](spark, SF))
     exchanges = [l for l in p.splitlines() if "Exchange" in l
                  and "reuse" not in l.lower()]
-    assert len(exchanges) == 1, exchanges
-    assert "doc_id" in exchanges[0]
+    hash_ex = [l for l in exchanges if "hashpartitioning" in l]
+    rr_ex = [l for l in exchanges if "RoundRobinPartitioning" in l]
+    assert len(hash_ex) == 1 and len(exchanges) == len(hash_ex) + len(rr_ex), exchanges
+    assert "doc_id" in hash_ex[0]
+    # the spread exchange carries raw doc rows, never gram/fingerprint arrays
+    for l in rr_ex:
+        assert "fingerprint" not in l and "__hs" not in l, l
 
 
 def test_minhash_explode_collapses_map_side(spark, Q):
