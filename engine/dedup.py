@@ -49,13 +49,179 @@ def word_shingles(text_col: str, k: int = 3):
     """k-word shingles as an array column (expression, no UDF).
 
     Docs with < k words fall back to the whole text as a single shingle.
-    """
+    The split array is bound ONCE via a single-element transform lambda —
+    the r1-r6 version re-evaluated ``split(text)`` inside the per-shingle
+    lambda, making the expression O(words^2) per doc."""
     words = F.split(F.col(text_col), " ")
     joined = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
+        f"transform(array(split({text_col}, ' ')), ws -> "
+        f"transform(sequence(1, size(ws) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(ws, i, {k}))))[0]"
     )
     return F.when(F.size(words) >= k, joined).otherwise(F.array(F.col(text_col)))
+
+
+def _minhash_batches(n_bands: int, k: int, batches):
+    """mapInArrow body of ``minhash_signatures``. Three exactness-preserving
+    rewrites make it vectorizable end to end:
+
+      * a k-word shingle joined with ' ' from a single-space split IS a byte
+        span of the original text (joining consecutive split pieces with the
+        split char reconstructs the span), so shingles are (start, end)
+        pairs into the batch's flat utf8 buffer — no Python string is ever
+        built (byte 0x20 never occurs inside a UTF-8 multibyte sequence, so
+        this holds for any unicode text);
+      * min over the shingle MULTISET equals min over the distinct set, so
+        the per-doc array_distinct is dropped;
+      * every span is content-hashed once (vectorized MD5, engine/md5np)
+        and deduplicated ON THE DIGEST across the whole batch, so the
+        n_bands prefixed hashes run once per UNIQUE shingle, not once per
+        occurrence (fixture vocabulary repeats shingles heavily).
+
+    Per doc and band, the signature is the lexicographic (hi, lo)-min over
+    its instances' band digests via two minimum.reduceat passes — identical
+    to min over the 32-char hex strings (hex is a monotone byte map).
+    Emits (id, band, minhash); a null text emits n_bands null-minhash rows
+    exactly like the old explode(array(null)) -> min(null) plan."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine import md5np
+
+    U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for rb in batches:
+        names = rb.schema.names
+        ids = rb.column(0)
+        texts = rb.column(1)
+        n = rb.num_rows
+        bufs = texts.buffers()
+        off_raw = np.frombuffer(bufs[1], dtype=np.int32)[
+            texts.offset : texts.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        valid = np.ones(n, dtype=bool)
+        if texts.null_count:
+            valid = ~np.asarray(pa.compute.is_null(texts))
+        docs = np.flatnonzero(valid)
+        nd = len(docs)
+        out_batches = []
+        if nd:
+            d_lo, d_hi = off_raw[docs], off_raw[docs + 1]
+            # --- word boundaries: spaces in the flat buffer, grouped by doc
+            sp = np.flatnonzero(data[off_raw[0] : off_raw[-1]] == 32) + off_raw[0]
+            if len(sp) and not valid.all():  # drop spaces inside null gaps
+                sp = sp[valid[np.searchsorted(off_raw, sp, "right") - 1]]
+            sp_doc = np.searchsorted(d_hi, sp, "right")  # doc index per space
+            nsp = np.bincount(sp_doc, minlength=nd)
+            W = nsp + 1  # words per doc
+            wcum = np.concatenate(([0], np.cumsum(W)))
+            tw = int(wcum[-1])
+            ws = np.empty(tw, dtype=np.int64)
+            we = np.empty(tw, dtype=np.int64)
+            first = np.zeros(tw, dtype=bool)
+            first[wcum[:-1]] = True
+            last = np.zeros(tw, dtype=bool)
+            last[wcum[1:] - 1] = True
+            ws[first] = d_lo
+            ws[~first] = sp + 1
+            we[last] = d_hi
+            we[~last] = sp
+            # --- shingle spans: words i..i+k-1 -> bytes [ws[i], we[i+k-1])
+            has = W >= k
+            S = np.where(has, W - (k - 1), 1)  # docs with < k words: whole text
+            scum = np.concatenate(([0], np.cumsum(S)))
+            ts = int(scum[-1])
+            sh_idx = np.arange(ts) - np.repeat(scum[:-1], S)  # shingle no. in doc
+            base = np.repeat(wcum[:-1], S)
+            sh_start = np.where(
+                np.repeat(has, S), ws[np.minimum(base + sh_idx, tw - 1)],
+                np.repeat(d_lo, S),
+            )
+            sh_end = np.where(
+                np.repeat(has, S),
+                we[np.minimum(base + sh_idx + (k - 1), tw - 1)],
+                np.repeat(d_hi, S),
+            )
+            # --- content-hash every span once; dedup on the digest
+            lens = sh_end - sh_start
+            flat_off = np.concatenate(([0], np.cumsum(lens)))
+            rel = np.arange(int(flat_off[-1])) - np.repeat(flat_off[:-1], lens)
+            flat = data[np.repeat(sh_start, lens) + rel]
+            cdig = md5np.md5_digests_chunked(flat, flat_off)
+            chi, clo = md5np.digests_to_u64_pair(cdig)
+            order = np.lexsort((clo, chi))
+            oh, ol = chi[order], clo[order]
+            grp_first = np.ones(ts, dtype=bool)
+            grp_first[1:] = (oh[1:] != oh[:-1]) | (ol[1:] != ol[:-1])
+            gid_sorted = np.cumsum(grp_first) - 1
+            inv = np.empty(ts, dtype=np.int64)
+            inv[order] = gid_sorted
+            reps = order[grp_first]  # one representative instance per unique
+            nu = len(reps)
+            # --- n_bands prefixed hashes per UNIQUE shingle
+            r_len = lens[reps]
+            r_off = np.concatenate(([0], np.cumsum(r_len + 2)))
+            # build "b|<shingle>" messages: shingle bytes scattered once,
+            # the 1-byte band prefix rewritten in place per band
+            msg = np.empty(int(r_off[-1]), dtype=np.uint8)
+            body_rel = np.arange(int(r_len.sum())) - np.repeat(
+                np.concatenate(([0], np.cumsum(r_len)))[:-1], r_len
+            )
+            msg[np.repeat(r_off[:-1] + 2, r_len) + body_rel] = data[
+                np.repeat(sh_start[reps], r_len) + body_rel
+            ]
+            msg[r_off[:-1] + 1] = ord("|")
+            band_hi = np.empty((n_bands, nu), dtype=np.uint64)
+            band_lo = np.empty((n_bands, nu), dtype=np.uint64)
+            for b in range(n_bands):
+                pre = str(b).encode()
+                if len(pre) != 1:  # n_bands > 10 would need wider prefixes
+                    raise ValueError("minhash mapInArrow path supports n_bands <= 10")
+                msg[r_off[:-1]] = pre[0]
+                bdig = md5np.md5_digests_chunked(msg, r_off)
+                band_hi[b], band_lo[b] = md5np.digests_to_u64_pair(bdig)
+            # --- per-doc, per-band lexicographic min over instances
+            starts = scum[:-1]
+            doc_of = np.repeat(np.arange(nd), S)
+            sig = np.empty((nd * n_bands, 2), dtype=np.uint64)
+            for b in range(n_bands):
+                ih = band_hi[b][inv]
+                il = band_lo[b][inv]
+                m_hi = np.minimum.reduceat(ih, starts)
+                il2 = np.where(ih == m_hi[doc_of], il, U64MAX)
+                m_lo = np.minimum.reduceat(il2, starts)
+                sig[b::n_bands, 0] = m_hi
+                sig[b::n_bands, 1] = m_lo
+            dig_bytes = (
+                sig.byteswap() if np.little_endian else sig
+            ).view(np.uint8).reshape(nd * n_bands, 16)
+            fp = md5np.hex_string_array(md5np.digests_to_hex_bytes(dig_bytes))
+            rows = np.repeat(docs, n_bands)
+            bands = np.tile(np.arange(n_bands, dtype=np.int32), nd)
+            out_batches.append((rows, bands, fp))
+        nulls = np.flatnonzero(~valid)
+        if len(nulls):
+            rows = np.repeat(nulls, n_bands)
+            bands = np.tile(np.arange(n_bands, dtype=np.int32), len(nulls))
+            fp = pa.array([None] * (len(nulls) * n_bands), type=pa.string())
+            out_batches.append((rows, bands, fp))
+        if not out_batches:
+            continue
+        rows = np.concatenate([r for r, _, _ in out_batches])
+        bands = np.concatenate([b for _, b, _ in out_batches])
+        fps = (
+            pa.concat_arrays([f for _, _, f in out_batches])
+            if len(out_batches) > 1
+            else out_batches[0][2]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [ids.take(pa.array(rows)), pa.array(bands), fps],
+            names=[names[0], "band", "minhash"],
+        )
 
 
 def minhash_signatures(
@@ -63,24 +229,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash per band: min over shingles of md5(band || '|' || shingle).
 
-    One pass: explode shingles -> groupBy(doc) with one min-agg per band
-    (partial agg collapses the explosion map-side; shuffle carries one row
-    per doc). Returns (id, band, minhash)."""
-    ex = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, k))).alias("shingle")
+    One vectorized ``mapInArrow`` pass since r7 (was: explode shingles ->
+    groupBy(doc) with one min-agg per band): shingles never exist as Spark
+    rows, every unique shingle is hashed once per band in numpy
+    (engine/md5np), and the per-doc minima collapse inside the batch — the
+    operator emits its (id, band, minhash) rows straight from the scan
+    stage with NO shuffle at all. Returns (id, band, minhash)."""
+    from functools import partial
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        partial(_minhash_batches, n_bands, k),
+        schema=f"{id_col} {id_type}, band int, minhash string",
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"mh_{b}")
-        for b in range(n_bands)
-    ]
-    wide = ex.groupBy(id_col).agg(*aggs)
-    structs = [
-        F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("minhash"))
-        for b in range(n_bands)
-    ]
-    return wide.select(
-        F.col(id_col), F.explode(F.array(*structs)).alias("s")
-    ).select(id_col, "s.band", "s.minhash")
 
 
 def lsh_candidate_pairs(
@@ -111,16 +272,35 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact k-gram Jaccard on candidate pairs (verification step after LSH).
 
-    Joins the (small) candidate set back to the shingle arrays; the pair set
-    is the broadcast side at scale. Returns (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, k)).alias("sh")
+    r7 shape: the candidate set (tiny — LSH output) is materialized ONCE
+    with ``localCheckpoint`` so the whole signature/bucket pipeline is not
+    re-executed per join branch (guide §3.3: a materialized intermediate
+    truncates the plan), then the doc table is pruned to pair PARTICIPANTS
+    with a broadcast semi-join before any shingling — the r1-r6 version
+    built shingle arrays for every doc, paying the O(words) array build for
+    the ~99% of docs no candidate touches. The join then compares
+    precomputed array COLUMNS, so the threshold predicate the optimizer
+    pushes into the join condition stays cheap. Returns
+    (id_a, id_b, jaccard)."""
+    pairs = pairs.localCheckpoint()
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    bb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sh = df.join(F.broadcast(ids), id_col, "leftsemi").select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k)).alias("sh"),
+    ).select(F.col(id_col), "sh", F.size("sh").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+                  F.col("n").alias("na"))
+    bb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+                   F.col("n").alias("nb"))
     j = pairs.join(a, "id_a").join(bb, "id_b")
+    # |A u B| = |A| + |B| - |A n B| for distinct arrays: the union array is
+    # never built — one intersect per pair instead of intersect + union
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.col("na") + F.col("nb")).cast("double") - inter
     return (
         j.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

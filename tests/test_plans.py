@@ -40,43 +40,36 @@ def test_ann_topk_avoids_global_sort(spark, Q):
     assert "TakeOrderedAndProject" in p
 
 
-def test_winnow_single_exchange_carries_fingerprints_not_grams(spark, Q):
-    """Two exchanges allowed since r7: the round-robin _spread of RAW doc
-    rows (parallelizes the md5/window stage over a single-row-group scan)
-    plus the fingerprint groupBy. The invariant that matters at 100 TB is
-    unchanged: the GRAM stream (one row per character position) never
-    crosses an Exchange — only raw text below the hashing, and collapsed
-    (doc_id, fingerprint) pairs above it."""
+def test_winnow_shuffle_free_single_arrow_pass(spark, Q):
+    """r7 shape: winnowing is ONE mapInArrow pass that emits final
+    (doc_id, pos, fingerprint) rows straight out of the scan stage — the
+    per-doc dedup happens inside the batch, so the old fingerprint groupBy
+    Exchange is gone. The only Exchange allowed is the round-robin _spread
+    of RAW doc rows (parallelizing a single-row-group scan); the gram
+    stream (one row per character position) never exists as Spark rows at
+    all, let alone crosses an Exchange."""
     p = plan_of(Q["winnow_fingerprints_documents"](spark, SF))
+    assert p.count("MapInArrow") == 1, p
     exchanges = [l for l in p.splitlines() if "Exchange" in l
                  and "reuse" not in l.lower()]
-    hash_ex = [l for l in exchanges if "hashpartitioning" in l]
-    rr_ex = [l for l in exchanges if "RoundRobinPartitioning" in l]
-    assert len(hash_ex) == 1 and len(exchanges) == len(hash_ex) + len(rr_ex), exchanges
-    assert "doc_id" in hash_ex[0]
-    # the spread exchange carries raw doc rows, never gram/fingerprint arrays
-    for l in rr_ex:
+    assert all("RoundRobinPartitioning" in l for l in exchanges), exchanges
+    # the spread exchange carries raw doc rows, never gram/fingerprint data
+    for l in exchanges:
         assert "fingerprint" not in l and "__hs" not in l, l
 
 
-def test_minhash_explode_collapses_map_side(spark, Q):
-    """The shingle explosion must be re-aggregated (partial_min per doc)
-    BEFORE any Exchange — the shuffle carries one row per doc, never the
-    gram stream."""
+def test_minhash_signatures_collapse_inside_scan_stage(spark, Q):
+    """r7 shape: MinHash signatures come out of ONE mapInArrow pass that
+    emits (doc, band, minhash) rows directly — shingles never exist as
+    Spark rows, so no Exchange can ever carry the gram stream. The only
+    exchanges in the whole pair query are the round-robin _spread of raw
+    doc rows and the (band, minhash) bucket groupBy above the signatures."""
     p = plan_of(Q["minhash_lsh_pairs"](spark, SF))
-    lines = p.splitlines()
-    # the SHINGLE explode is the deepest Generate node (plans print
-    # root-first); walking upward from it toward the root, a partial_min
-    # aggregate must appear BEFORE any Exchange
-    shingle_idx = max(
-        i for i, l in enumerate(lines) if "Generate explode" in l and "shingle" in l
-    )
-    for l in reversed(lines[:shingle_idx]):
-        if "partial_min" in l:
-            break
-        assert "Exchange" not in l, "shingle stream reaches an Exchange unaggregated"
-    else:
-        pytest.fail("no partial_min above the shingle explode")
+    assert p.count("MapInArrow") == 1, p
+    assert "Generate explode" not in p or "shingle" not in p
+    for l in p.splitlines():
+        if "Exchange" in l and "reuse" not in l.lower():
+            assert "shingle" not in l, l
 
 
 def test_salted_collect_set_two_phase_shape(spark, Q):
