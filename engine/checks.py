@@ -43,6 +43,29 @@ from engine.suite import (
 BUCKET = "bucket_id"
 
 
+class LazyFrames(dict):
+    """dict whose values may be zero-arg DataFrame factories, built on first
+    access. Per-constraint violation DataFrames are rarely all consumed, but
+    each one costs a driver-side plan analysis to construct — at ~40
+    DataFrame ops per suite that analysis chatter was a measurable slice of
+    every validate() call (guide §7.3: planning is single-threaded driver
+    work). Factories keep SuiteResult.violations' dict contract
+    (``[key]``, ``items()``, assignment) while deferring construction."""
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        if callable(v) and not hasattr(v, "columns"):
+            v = v()
+            super().__setitem__(k, v)
+        return v
+
+    def items(self):  # materializes — prefer iterating keys and indexing
+        return [(k, self[k]) for k in list(super().keys())]
+
+    def values(self):
+        return [self[k] for k in list(super().keys())]
+
+
 def bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
     """Deterministic logical-partition id: pmod(xxhash64(keys), n)."""
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
@@ -106,7 +129,7 @@ class SuiteResult:
 
     verdicts: DataFrame            # (constraint, violation_count, rows_scanned, passed)
     partition_verdicts: DataFrame  # (bucket_id, constraint, violation_count, rows_scanned, passed)
-    violations: dict[str, DataFrame] = field(default_factory=dict)
+    violations: dict[str, DataFrame] = field(default_factory=LazyFrames)
     stats: DataFrame | None = None           # (column_name, metric, value)
     bucket_stats: DataFrame | None = None    # wide per-bucket partials (lineage)
     violations_union: DataFrame | None = None  # all row-local violations, one scan
@@ -191,18 +214,23 @@ def run_suite(
     if rl_bucket_verdicts is not None:
         parts.append(rl_bucket_verdicts)
 
-    violations: dict[str, DataFrame] = {}
+    violations: dict[str, DataFrame] = LazyFrames()
 
-    # lazily-built violation row DataFrames for row-local constraints
+    # violation row DataFrames for row-local constraints — stored as
+    # factories (LazyFrames) so their plan analysis only runs if a caller
+    # actually asks for that constraint's rows
     for c in row_local:
-        vexpr = _violation_expr(c, fact)
-        cols = [F.col(k) for k in key_cols] + [F.lit(c.name).alias("constraint")]
-        col_attr = getattr(c, "column", None)
-        if col_attr:
-            cols.append(F.col(col_attr).cast("string").alias("offending_value"))
-        else:
-            cols.append(F.lit(None).cast("string").alias("offending_value"))
-        violations[c.name] = fact.filter(vexpr).select(*cols, F.col(BUCKET))
+        def _mk(c=c):
+            vexpr = _violation_expr(c, fact)
+            cols = [F.col(k) for k in key_cols] + [F.lit(c.name).alias("constraint")]
+            col_attr = getattr(c, "column", None)
+            if col_attr:
+                cols.append(F.col(col_attr).cast("string").alias("offending_value"))
+            else:
+                cols.append(F.lit(None).cast("string").alias("offending_value"))
+            return fact.filter(vexpr).select(*cols, F.col(BUCKET))
+
+        violations[c.name] = _mk
 
     # ---- job 2: uniqueness (pruned-column shuffle agg) ----------------------
     for c in uniques:
@@ -221,6 +249,10 @@ def run_suite(
                 F.min(BUCKET).alias(BUCKET),
             )
             .filter(F.col("key_count") > 1)
+            # tiny output feeding TWO actions (verdicts + violation rows):
+            # persist so the second action reuses it instead of re-running
+            # the full-table shuffle agg (same pattern as bucket_wide)
+            .persist()
         )
         violations[c.name] = dup.select(
             *keys,
@@ -253,7 +285,13 @@ def run_suite(
         nn = F.lit(True)
         for k in c.columns:
             nn = nn & F.col(k).isNotNull()
-        dangling = fact.filter(nn).join(ref_keys, on=list(c.columns), how="left_anti")
+        # tiny output feeding two actions — persist like `dup` above so the
+        # anti-join's full-table probe runs once, not once per action
+        dangling = (
+            fact.filter(nn)
+            .join(ref_keys, on=list(c.columns), how="left_anti")
+            .persist()
+        )
         violations[c.name] = dangling.select(
             *key_cols,
             F.lit(c.name).alias("constraint"),

@@ -61,6 +61,60 @@ def word_shingles(text_col: str, k: int = 3):
     return F.when(F.size(words) >= k, joined).otherwise(F.array(F.col(text_col)))
 
 
+def _utf8_view(texts, n: int):
+    """(byte_offsets int64 (n+1), flat uint8 data, valid bool mask) of a
+    pyarrow utf8 array, honoring the array's slice offset."""
+    import numpy as np
+    import pyarrow as pa
+
+    bufs = texts.buffers()
+    off_raw = np.frombuffer(bufs[1], dtype=np.int32)[
+        texts.offset : texts.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    valid = np.ones(n, dtype=bool)
+    if texts.null_count:
+        valid = ~np.asarray(pa.compute.is_null(texts))
+    return off_raw, data, valid
+
+
+def _word_spans(data, off_raw, docs):
+    """Vectorized single-space word boundaries for the selected docs: byte
+    0x20 never occurs inside a UTF-8 multibyte sequence, so byte-splitting
+    equals char-splitting with java/python semantics (empties kept).
+    Returns (W words-per-doc, wcum, word_start, word_end) — starts/ends are
+    absolute offsets into ``data``."""
+    import numpy as np
+
+    nd = len(docs)
+    d_lo, d_hi = off_raw[docs], off_raw[docs + 1]
+    sp = np.flatnonzero(data[off_raw[0] : off_raw[-1]] == 32) + off_raw[0]
+    if len(sp):
+        owner = np.searchsorted(d_hi, sp, "right")
+        inside = (owner < nd) & (sp >= d_lo[np.minimum(owner, nd - 1)])
+        sp, owner = sp[inside], owner[inside]
+    else:
+        owner = sp
+    W = np.bincount(owner, minlength=nd) + 1
+    wcum = np.concatenate(([0], np.cumsum(W)))
+    tw = int(wcum[-1])
+    ws = np.empty(tw, dtype=np.int64)
+    we = np.empty(tw, dtype=np.int64)
+    first = np.zeros(tw, dtype=bool)
+    first[wcum[:-1]] = True
+    last = np.zeros(tw, dtype=bool)
+    last[wcum[1:] - 1] = True
+    ws[first] = d_lo
+    ws[~first] = sp + 1
+    we[last] = d_hi
+    we[~last] = sp
+    return W, wcum, ws, we
+
+
 def _minhash_batches(n_bands: int, k: int, batches):
     """mapInArrow body of ``minhash_signatures``. Three exactness-preserving
     rewrites make it vectorizable end to end:
@@ -94,42 +148,14 @@ def _minhash_batches(n_bands: int, k: int, batches):
         ids = rb.column(0)
         texts = rb.column(1)
         n = rb.num_rows
-        bufs = texts.buffers()
-        off_raw = np.frombuffer(bufs[1], dtype=np.int32)[
-            texts.offset : texts.offset + n + 1
-        ].astype(np.int64)
-        data = (
-            np.frombuffer(bufs[2], dtype=np.uint8)
-            if bufs[2] is not None
-            else np.zeros(0, dtype=np.uint8)
-        )
-        valid = np.ones(n, dtype=bool)
-        if texts.null_count:
-            valid = ~np.asarray(pa.compute.is_null(texts))
+        off_raw, data, valid = _utf8_view(texts, n)
         docs = np.flatnonzero(valid)
         nd = len(docs)
         out_batches = []
         if nd:
             d_lo, d_hi = off_raw[docs], off_raw[docs + 1]
-            # --- word boundaries: spaces in the flat buffer, grouped by doc
-            sp = np.flatnonzero(data[off_raw[0] : off_raw[-1]] == 32) + off_raw[0]
-            if len(sp) and not valid.all():  # drop spaces inside null gaps
-                sp = sp[valid[np.searchsorted(off_raw, sp, "right") - 1]]
-            sp_doc = np.searchsorted(d_hi, sp, "right")  # doc index per space
-            nsp = np.bincount(sp_doc, minlength=nd)
-            W = nsp + 1  # words per doc
-            wcum = np.concatenate(([0], np.cumsum(W)))
+            W, wcum, ws, we = _word_spans(data, off_raw, docs)
             tw = int(wcum[-1])
-            ws = np.empty(tw, dtype=np.int64)
-            we = np.empty(tw, dtype=np.int64)
-            first = np.zeros(tw, dtype=bool)
-            first[wcum[:-1]] = True
-            last = np.zeros(tw, dtype=bool)
-            last[wcum[1:] - 1] = True
-            ws[first] = d_lo
-            ws[~first] = sp + 1
-            we[last] = d_hi
-            we[~last] = sp
             # --- shingle spans: words i..i+k-1 -> bytes [ws[i], we[i+k-1])
             has = W >= k
             S = np.where(has, W - (k - 1), 1)  # docs with < k words: whole text
@@ -311,47 +337,83 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _simhash_batches(batches):
+    """mapInArrow body of ``simhash64``: per Arrow batch, hash every word
+    OCCURRENCE with the vectorized MD5 and reduce the 64 sign-sums per doc
+    with one ``add.reduceat`` — the first 16 hex chars of md5 as a 64-bit
+    integer are exactly the big-endian u64 of the digest's first 8 bytes,
+    so bit j is ``(hi >> j) & 1`` with no hex parsing at all. A null text
+    emits no row, matching the old explode(split(null)) plan."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine import md5np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    for rb in batches:
+        names = rb.schema.names
+        ids = rb.column(0)
+        texts = rb.column(1)
+        n = rb.num_rows
+        off_raw, data, valid = _utf8_view(texts, n)
+        docs = np.flatnonzero(valid)
+        nd = len(docs)
+        if nd == 0:
+            continue
+        W, wcum, ws, we = _word_spans(data, off_raw, docs)
+        lens = we - ws
+        flat_off = np.concatenate(([0], np.cumsum(lens)))
+        rel = np.arange(int(flat_off[-1])) - np.repeat(flat_off[:-1], lens)
+        flat = data[np.repeat(ws, lens) + rel]
+        dig = md5np.md5_digests_chunked(flat, flat_off)
+        hi, _lo = md5np.digests_to_u64_pair(dig)
+        bits = ((hi[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        ones = np.add.reduceat(bits, wcum[:-1], axis=0)  # (nd, 64)
+        bvals = 2 * ones - W[:, None]
+        out = np.where(bvals[:, ::-1] > 0, np.uint8(49), np.uint8(48))  # MSB first
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids.take(pa.array(docs)),
+                md5np.fixed_ascii_string_array(np.ascontiguousarray(out)),
+            ],
+            names=[names[0], "simhash"],
+        )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash from word-level md5 bits — expression-only (no UDF).
+    """64-bit SimHash from word-level md5 bits.
 
     bit_j(doc) = sign( sum over words of (bit_j(md5(word)) ? +1 : -1) ).
     Uses the first 16 hex chars of md5 as a 64-bit integer. The signature is
     returned as a 64-char '0'/'1' string (exact, portable — no 64-bit
-    unsigned headaches); near-dup docs differ in few positions (hamming)."""
-    words = F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ex = df.select(F.col(id_col), words).select(
-        F.col(id_col), F.substring(F.md5("w"), 1, 16).alias("h")
-    )
-    # bit j (0 = LSB) lives in hex char 16 - j//4, sub-nibble shift j%4 —
-    # extracted with pure int arithmetic on the hex digit so an external SQL
-    # oracle reproduces it exactly (no 64-bit unsigned conversions)
-    def bit(j):
-        c, s = 16 - j // 4, j % 4
-        digit = F.instr(F.lit("0123456789abcdef"), F.substring("h", c, 1)) - 1
-        return F.floor(digit / F.lit(1 << s)).cast("long") % 2
+    unsigned headaches); near-dup docs differ in few positions (hamming).
 
-    bit_aggs = [
-        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}") for j in range(64)
-    ]
-    wide = ex.groupBy(id_col).agg(*bit_aggs)
-    bits = [
-        F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for j in range(63, -1, -1)  # MSB first
-    ]
-    return wide.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+    One vectorized ``mapInArrow`` pass since r7 (was: explode words ->
+    64 conditional-sum aggregates over md5-hex substrings): word spans are
+    byte slices of the batch buffer, digests come from the numpy MD5, and
+    the per-doc sign-sums collapse inside the batch — no explode, no
+    groupBy, no shuffle."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        _simhash_batches,
+        schema=f"{id_col} {id_type}, simhash string",
+    )
 
 
 def hamming(a, b):
-    """Hamming distance between two equal-length bit-string columns."""
-    n = 64
-    terms = [
-        F.when(F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1), 1).otherwise(0)
-        for j in range(n)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    """Hamming distance between two 64-char '0'/'1' bit-string columns:
+    popcount of the XOR, computed on two 32-bit halves (conv -> bigint fits
+    without sign trouble). Identical distances to the r1-r6 per-character
+    comparison chain, at 4 integer ops per pair instead of 64 substring
+    compares — the verify stage runs over every band-bucket candidate, so
+    at near-dup-dense fixtures this is tens of millions of evaluations."""
+    def half(col, start):
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
+
+    return (
+        F.bit_count(half(a, 1).bitwiseXOR(half(b, 1)))
+        + F.bit_count(half(a, 33).bitwiseXOR(half(b, 33)))
+    ).cast("int")
 
 
 def band_spans(n_bits: int, n_bands: int) -> list[tuple[int, int]]:

@@ -231,8 +231,10 @@ def _read_bits(bits: np.ndarray, p: int, nb: int) -> int:
 #: block-chase stride: the successor map is composed up to g^CHASE_B (log2
 #: CHASE_B cheap O(m) gathers), then the orbit advances CHASE_B codes per
 #: vector step — n/B python-loop iterations instead of a full O(m log n)
-#: binary lift (measured ~4x on fixture-shaped frames, k~8)
-CHASE_B = 64
+#: binary lift (measured ~4x on fixture-shaped frames, k~8; r7 re-sweep
+#: 16/32/64/128 interleaved best-of-4: 128 is ~4% faster than 64 on the
+#: fixture mix — one more compose is cheaper than twice the stride count)
+CHASE_B = 128
 
 
 def rice_decode_block(

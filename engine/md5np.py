@@ -179,12 +179,18 @@ def digests_to_hex_bytes(dig: np.ndarray) -> np.ndarray:
     return out
 
 
-def hex_string_array(hex_bytes: np.ndarray):
-    """(N, 32) uint8 hex codes -> pyarrow StringArray with zero per-row
+def fixed_ascii_string_array(mat: np.ndarray):
+    """(N, W) uint8 ASCII codes -> pyarrow StringArray with zero per-row
     Python objects (one data buffer + arithmetic offsets)."""
     import pyarrow as pa
 
-    n = hex_bytes.shape[0]
-    offsets = pa.array(np.arange(0, 32 * (n + 1), 32, dtype=np.int32))
-    data = pa.py_buffer(np.ascontiguousarray(hex_bytes).tobytes())
+    n, w = mat.shape
+    offsets = pa.array(np.arange(0, w * (n + 1), w, dtype=np.int32))
+    data = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
     return pa.StringArray.from_buffers(n, offsets.buffers()[1], data)
+
+
+def hex_string_array(hex_bytes: np.ndarray):
+    """(N, 32) uint8 hex codes -> pyarrow StringArray (see
+    ``fixed_ascii_string_array``)."""
+    return fixed_ascii_string_array(hex_bytes)

@@ -771,7 +771,7 @@ def _simhash_oracle_sql() -> str:
 # _simhash_oracle_sql CTE), so driver-visible semantics are unchanged; the
 # bare signature op stays pytest-pinned (tests/test_operators.py).
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return dedup.simhash64(docs, "text", "doc_id")
 
 

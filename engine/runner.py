@@ -116,9 +116,13 @@ def validate(
                 "clip_id", "constraint", "offending_value", checks_mod.BUCKET
             )
         )
-    for name, vdf in result.violations.items():
+    for name in list(result.violations.keys()):
         if name in row_local_names:
+            # row-local rows come from the fused violations_union scan; skip
+            # WITHOUT touching the entry so its plan is never even built
+            # (checks.LazyFrames defers construction to first access)
             continue
+        vdf = result.violations[name]
         union_parts.append(
             vdf.select("clip_id", "constraint", "offending_value", checks_mod.BUCKET)
         )
