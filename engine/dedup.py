@@ -613,6 +613,9 @@ def near_dup_clusters_twophase(
         .distinct()
         .localCheckpoint()
     )
+    # carry |e| across rounds: this round's small.count() IS next round's
+    # e.count(), so the fixpoint probe costs one job per round, not two
+    e_cnt = e.count()
     converged = False
     for _ in range(max_iter):
         # ---- large-star over the bidirectional adjacency
@@ -647,11 +650,12 @@ def near_dup_clusters_twophase(
         )
         # exact fixpoint test: both sides are distinct sets, so equal counts
         # plus one empty difference proves set equality
-        if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
+        s_cnt = small.count()
+        if s_cnt == e_cnt and small.exceptAll(e).limit(1).count() == 0:
             e = small
             converged = True
             break
-        e = small
+        e, e_cnt = small, s_cnt
     if not converged:
         raise ValueError(
             f"near_dup_clusters_twophase did not converge within "
