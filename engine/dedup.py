@@ -367,8 +367,13 @@ def _simhash_batches(batches):
         flat = data[np.repeat(ws, lens) + rel]
         dig = md5np.md5_digests_chunked(flat, flat_off)
         hi, _lo = md5np.digests_to_u64_pair(dig)
-        bits = ((hi[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-        ones = np.add.reduceat(bits, wcum[:-1], axis=0)  # (nd, 64)
+        # one reduceat per bit keeps transient memory at O(occurrences)
+        # instead of an (occurrences, 64) matrix — a word-heavy batch would
+        # otherwise materialize gigabytes
+        ones = np.empty((nd, 64), dtype=np.int64)
+        starts = wcum[:-1]
+        for j in range(64):
+            ones[:, j] = np.add.reduceat((hi >> shifts[j]) & np.uint64(1), starts).astype(np.int64)
         bvals = 2 * ones - W[:, None]
         out = np.where(bvals[:, ::-1] > 0, np.uint8(49), np.uint8(48))  # MSB first
         yield pa.RecordBatch.from_arrays(
