@@ -41,72 +41,85 @@ def numeric_columns(df: DataFrame, columns: list[str]) -> list[str]:
 
 
 def bucket_stat_exprs(df: DataFrame, columns: list[str]) -> list[Column]:
-    """Mergeable per-bucket partial-stat expressions, aliased ``{col}__{stat}``."""
+    """Mergeable per-bucket partial-stat expressions, aliased ``{col}__{stat}``.
+
+    Built as SQL strings (one py4j call per expression) rather than nested
+    Column objects — identical Catalyst expressions, a fraction of the
+    driver-side construction chatter (guide §7.3: planning/analysis is
+    single-threaded driver work paid inside every validate() call)."""
     nums = set(numeric_columns(df, columns))
-    exprs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    exprs: list[Column] = [F.expr("count(1) AS __rows")]
     for c in columns:
-        col = F.col(c)
-        exprs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
-        exprs.append(F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"))
+        exprs.append(F.expr(
+            f"sum(CASE WHEN `{c}` IS NULL THEN 1 ELSE 0 END) AS `{c}__nulls`"
+        ))
+        exprs.append(F.expr(
+            f"hll_sketch_agg(CAST(`{c}` AS STRING)) AS `{c}__hll`"
+        ))
         if c in nums:
-            d = col.cast("double")
+            d = f"CAST(`{c}` AS DOUBLE)"
             exprs += [
-                F.min(d).alias(f"{c}__min"),
-                F.max(d).alias(f"{c}__max"),
-                F.sum(d).alias(f"{c}__sum"),
-                F.sum(d * d).alias(f"{c}__sumsq"),
+                F.expr(f"min({d}) AS `{c}__min`"),
+                F.expr(f"max({d}) AS `{c}__max`"),
+                F.expr(f"sum({d}) AS `{c}__sum`"),
+                F.expr(f"sum({d} * {d}) AS `{c}__sumsq`"),
             ]
     return exprs
 
 
 def merge_bucket_stats(bucket_stats: DataFrame, columns: list[str], numeric: list[str]) -> DataFrame:
     """Merge per-bucket partials into global partials (one row)."""
-    exprs: list[Column] = [F.sum("__rows").alias("__rows")]
+    exprs: list[Column] = [F.expr("sum(`__rows`) AS `__rows`")]
     for c in columns:
-        exprs.append(F.sum(f"{c}__nulls").alias(f"{c}__nulls"))
-        exprs.append(F.hll_union_agg(f"{c}__hll").alias(f"{c}__hll"))
+        exprs.append(F.expr(f"sum(`{c}__nulls`) AS `{c}__nulls`"))
+        exprs.append(F.expr(f"hll_union_agg(`{c}__hll`) AS `{c}__hll`"))
         if c in numeric:
             exprs += [
-                F.min(f"{c}__min").alias(f"{c}__min"),
-                F.max(f"{c}__max").alias(f"{c}__max"),
-                F.sum(f"{c}__sum").alias(f"{c}__sum"),
-                F.sum(f"{c}__sumsq").alias(f"{c}__sumsq"),
+                F.expr(f"min(`{c}__min`) AS `{c}__min`"),
+                F.expr(f"max(`{c}__max`) AS `{c}__max`"),
+                F.expr(f"sum(`{c}__sum`) AS `{c}__sum`"),
+                F.expr(f"sum(`{c}__sumsq`) AS `{c}__sumsq`"),
             ]
     return bucket_stats.agg(*exprs)
 
 
 def finalize_stats(global_stats: DataFrame, columns: list[str], numeric: list[str]) -> DataFrame:
-    """Unpivot the one-row wide partials into ``(column_name, metric, value)``."""
-    structs: list[Column] = []
+    """Unpivot the one-row wide partials into ``(column_name, metric, value)``.
 
-    def metric(c: str, m: str, v: Column) -> Column:
-        return F.struct(
-            F.lit(c).alias("column_name"), F.lit(m).alias("metric"),
-            v.cast("double").alias("value"),
+    One ``F.expr`` string for the whole explode(array(named_struct...)) —
+    the same Catalyst tree the old per-struct Column building produced, in
+    one py4j call instead of ~170 (see bucket_stat_exprs)."""
+    structs: list[str] = []
+
+    def metric(c: str, m: str, v: str) -> str:
+        return (
+            f"named_struct('column_name', '{c}', 'metric', '{m}', "
+            f"'value', CAST({v} AS DOUBLE))"
         )
 
-    rows = F.col("__rows").cast("double")
+    rows = "CAST(`__rows` AS DOUBLE)"
     for c in columns:
-        nulls = F.col(f"{c}__nulls").cast("double")
+        nulls = f"CAST(`{c}__nulls` AS DOUBLE)"
         structs += [
             metric(c, "count", rows),
             metric(c, "null_count", nulls),
-            metric(c, "null_rate", nulls / rows),
-            metric(c, "approx_ndv", F.hll_sketch_estimate(F.col(f"{c}__hll"))),
+            metric(c, "null_rate", f"{nulls} / {rows}"),
+            metric(c, "approx_ndv", f"hll_sketch_estimate(`{c}__hll`)"),
         ]
         if c in numeric:
-            n = rows - nulls
-            mean = F.col(f"{c}__sum") / n
-            var = F.greatest(F.col(f"{c}__sumsq") / n - mean * mean, F.lit(0.0))
+            n = f"({rows} - {nulls})"
+            mean = f"(`{c}__sum` / {n})"
+            var = f"greatest(`{c}__sumsq` / {n} - {mean} * {mean}, 0.0D)"
             structs += [
-                metric(c, "min", F.col(f"{c}__min")),
-                metric(c, "max", F.col(f"{c}__max")),
+                metric(c, "min", f"`{c}__min`"),
+                metric(c, "max", f"`{c}__max`"),
                 metric(c, "mean", mean),
-                metric(c, "stddev", F.sqrt(var)),
+                metric(c, "stddev", f"sqrt({var})"),
             ]
     return (
-        global_stats.select(F.explode(F.array(*structs)).alias("s"))
-        .select("s.column_name", "s.metric", "s.value")
+        global_stats.select(
+            F.expr(f"explode(array({', '.join(structs)})) AS s")
+        ).select("s.column_name", "s.metric", "s.value")
     )
 
 
