@@ -63,12 +63,15 @@ def word_shingles(text_col: str, k: int = 3):
 
 def _utf8_view(texts, n: int):
     """(byte_offsets int64 (n+1), flat uint8 data, valid bool mask) of a
-    pyarrow utf8 array, honoring the array's slice offset."""
+    pyarrow utf8 array, honoring the array's slice offset and offset width
+    (string -> int32, large_string -> int64 — misreading one as the other
+    would silently corrupt, so the dtype comes from the arrow type)."""
     import numpy as np
     import pyarrow as pa
 
     bufs = texts.buffers()
-    off_raw = np.frombuffer(bufs[1], dtype=np.int32)[
+    off_dt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    off_raw = np.frombuffer(bufs[1], dtype=off_dt)[
         texts.offset : texts.offset + n + 1
     ].astype(np.int64)
     data = (

@@ -88,9 +88,11 @@ def _winnow_batches(k: int, w: int, batches):
         out_pos: list[np.ndarray] = []
         out_fp_arrays: list[pa.Array] = []
 
-        # --- flat byte view of the utf8 column
+        # --- flat byte view of the utf8 column (offset width per arrow type:
+        # string -> int32, large_string -> int64)
         bufs = texts.buffers()
-        off_raw = np.frombuffer(bufs[1], dtype=np.int32)[
+        off_dt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+        off_raw = np.frombuffer(bufs[1], dtype=off_dt)[
             texts.offset : texts.offset + n + 1
         ].astype(np.int64)
         data = (
