@@ -42,8 +42,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # small Arrow batches: rows carry ~30KB binary payloads; 10k-row
         # batches (300MB+ pandas frames per worker) thrash memory — 2048 keeps
-        # the Python workers streaming (measured 4.5x faster on the audio pass)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # the Python workers streaming (measured 4.5x faster on the audio
+        # pass). Parameterized (r7) so deployments with more RAM per worker
+        # can trade batch amortization against transient pool size.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("TSAD_ARROW_BATCH", "2048"),
+        )
         .config("spark.driver.memory", os.environ.get("TSAD_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
