@@ -160,3 +160,41 @@ def test_ewma_partition_path_matches_per_series_pandas(spark):
                 assert v is None or np.isnan(v)
             else:
                 assert v == e, (sid, row["idx"], v, e)
+
+
+# ---------------------------------------------------------------------------
+# r7 structural helpers: scan spreading and lazy violation frames
+# ---------------------------------------------------------------------------
+
+def test_spread_is_scale_adaptive(spark):
+    """_spread parallelizes a single-split scan but must be a NO-OP when the
+    input already carries enough partitions (at production scale no extra
+    exchange may appear)."""
+    from engine.queries import _spread
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(0, 100, 1, 1)
+    assert _spread(spark, small).rdd.getNumPartitions() == target
+    big = spark.range(0, 1000, 1, target + 4)
+    out = _spread(spark, big)
+    assert out is big  # untouched: no repartition node added
+
+
+def test_lazy_violation_frames_defer_construction(spark):
+    """run_suite must NOT build per-constraint violation plans until a
+    caller indexes them (driver-side analysis cost), while keeping the
+    plain-dict contract for assignment and access."""
+    from engine import checks
+    from engine.suite import ConstraintSuite, Range
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 50).select("id", F.col("id").alias("v"))
+    s = ConstraintSuite([Range("v_range", column="v", lo=0, hi=10)])
+    res = checks.run_suite(df, s, key_cols=["id"], n_buckets=4, stat_columns=[])
+    raw = dict.__getitem__(res.violations, "v_range")
+    assert callable(raw) and not hasattr(raw, "columns")  # still a factory
+    built = res.violations["v_range"]
+    assert hasattr(built, "columns")  # materialized on access
+    assert res.violations["v_range"] is built  # cached
+    assert built.count() == 39  # 11..49 violate
